@@ -1,0 +1,23 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX loads.
+
+This is the standard way to exercise pjit/shard_map multi-chip code paths
+without TPU pod hardware (SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tokenizer():
+    from plip_tpu.tokenizer import synthetic_vocab
+
+    return synthetic_vocab()
