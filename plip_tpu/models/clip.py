@@ -1,0 +1,185 @@
+"""TPU-native CLIP dual encoder (pure-functional JAX).
+
+Rebuilds the behavior contract the reference inherits from HF ``CLIPModel``
+and OpenAI ``clip`` (SURVEY.md §2.2 N1/N2):
+
+- ``encode_image`` == ``CLIPModel.get_image_features`` (`/root/reference/plip.py:50`):
+  patchify → +CLS → +pos → ln_pre → 12 pre-LN blocks → take CLS → ln_post →
+  linear proj. Output is **unnormalized** (the reference README has callers
+  normalize; `/root/reference/README.md:28-30`).
+- ``encode_text`` == ``get_text_features`` (`/root/reference/plip.py:68`):
+  token+pos embed → causal blocks → ln_final → pool at EOT → proj.
+- ``forward`` == HF ``model(**inputs)`` logits: L2-normalize both embeddings,
+  ``logit_scale.exp() * img @ txt.T`` (`/root/reference/README.md:45-51`).
+
+TPU-first choices: patchify is a reshape + single MXU matmul (equivalent to
+the stride-32 conv, but expressed as the matmul it is); block params are
+layer-stacked and scanned; all shapes static.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import CLIPConfig
+from .layers import (
+    _init_linear,
+    _init_ln,
+    init_block_stack,
+    layer_norm,
+    transformer,
+)
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, cfg: CLIPConfig) -> Params:
+    kv, kt, kvp, ktp, kcls, kpos_v, ktok, kpos_t, kproj_v, kproj_t = jax.random.split(key, 10)
+    v, t = cfg.vision, cfg.text
+    patch_dim = v.patch_size * v.patch_size * 3
+    return {
+        "visual": {
+            "patch_embed": {
+                # no bias — matches conv1(bias=False) / patch_embedding(bias=False)
+                "kernel": jax.random.normal(kvp, (patch_dim, v.width), jnp.float32)
+                * (v.width ** -0.5)
+            },
+            "class_embedding": jax.random.normal(kcls, (v.width,), jnp.float32)
+            * (v.width ** -0.5),
+            "pos_embed": jax.random.normal(kpos_v, (v.seq_len, v.width), jnp.float32)
+            * (v.width ** -0.5),
+            "ln_pre": _init_ln(v.width),
+            "blocks": init_block_stack(kv, v.layers, v.width),
+            "ln_post": _init_ln(v.width),
+            "proj": {
+                "kernel": jax.random.normal(kproj_v, (v.width, cfg.embed_dim), jnp.float32)
+                * (v.width ** -0.5)
+            },
+        },
+        "text": {
+            "token_embed": jax.random.normal(ktok, (t.vocab_size, t.width), jnp.float32)
+            * 0.02,
+            "pos_embed": jax.random.normal(kpos_t, (t.context_length, t.width), jnp.float32)
+            * 0.01,
+            "blocks": init_block_stack(kt, t.layers, t.width),
+            "ln_final": _init_ln(t.width),
+            "proj": {
+                "kernel": jax.random.normal(kproj_t, (t.width, cfg.embed_dim), jnp.float32)
+                * (t.width ** -0.5)
+            },
+        },
+        "logit_scale": jnp.asarray(cfg.logit_scale_init, jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def patchify(pixels: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """NHWC image -> [B, tokens, patch*patch*C] (row-major patch order).
+
+    Equivalent to a stride-``patch`` conv (the torch towers' conv1) but
+    expressed as the reshape+matmul it really is — XLA tiles the single big
+    matmul straight onto the MXU.
+    """
+    B, H, W, C = pixels.shape
+    gh, gw = H // patch, W // patch
+    x = pixels.reshape(B, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, gh, gw, ph, pw, C]
+    return x.reshape(B, gh * gw, patch * patch * C)
+
+
+def encode_image(
+    params: Params,
+    pixels: jnp.ndarray,
+    cfg: CLIPConfig,
+    dtype: jnp.dtype = jnp.float32,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """pixels NHWC [B, S, S, 3] (already CLIP-normalized) -> [B, embed_dim]."""
+    v = cfg.vision
+    p = params["visual"]
+    x = patchify(pixels.astype(dtype), v.patch_size)
+    x = jnp.dot(
+        x, p["patch_embed"]["kernel"].astype(dtype), preferred_element_type=jnp.float32
+    ).astype(dtype)
+    cls = jnp.broadcast_to(
+        p["class_embedding"].astype(dtype), (x.shape[0], 1, v.width)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + p["pos_embed"].astype(dtype)
+    x = layer_norm(x, p["ln_pre"], cfg.ln_eps)
+    x = transformer(x, p["blocks"], v.heads, mask=None, eps=cfg.ln_eps, remat=remat)
+    x = layer_norm(x[:, 0], p["ln_post"], cfg.ln_eps)
+    out = jnp.dot(
+        x, p["proj"]["kernel"].astype(dtype), preferred_element_type=jnp.float32
+    )
+    return out.astype(jnp.float32)
+
+
+def causal_mask(n: int) -> jnp.ndarray:
+    return jnp.triu(jnp.full((n, n), -jnp.inf, jnp.float32), k=1)
+
+
+def encode_text(
+    params: Params,
+    ids: jnp.ndarray,
+    cfg: CLIPConfig,
+    dtype: jnp.dtype = jnp.float32,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """ids int32 [B, ctx] -> [B, embed_dim]. Pools at the first EOT token."""
+    t = cfg.text
+    p = params["text"]
+    x = p["token_embed"].astype(dtype)[ids]
+    x = x + p["pos_embed"].astype(dtype)
+    x = transformer(
+        x, p["blocks"], t.heads, mask=causal_mask(ids.shape[1]), eps=cfg.ln_eps,
+        remat=remat,
+    )
+    x = layer_norm(x, p["ln_final"], cfg.ln_eps)
+    eot_pos = jnp.argmax((ids == t.eot).astype(jnp.int32), axis=-1)
+    pooled = x[jnp.arange(x.shape[0]), eot_pos]
+    out = jnp.dot(
+        pooled, p["proj"]["kernel"].astype(dtype), preferred_element_type=jnp.float32
+    )
+    return out.astype(jnp.float32)
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    if eps:
+        n = jnp.maximum(n, eps)
+    return x / n
+
+
+def forward(
+    params: Params,
+    pixels: jnp.ndarray,
+    ids: jnp.ndarray,
+    cfg: CLIPConfig,
+    dtype: jnp.dtype = jnp.float32,
+    remat: bool = False,
+):
+    """Full CLIP forward: (logits_per_image, logits_per_text)."""
+    img = l2_normalize(encode_image(params, pixels, cfg, dtype, remat))
+    txt = l2_normalize(encode_text(params, ids, cfg, dtype, remat))
+    scale = jnp.exp(
+        jnp.clip(params["logit_scale"], max=cfg.logit_scale_max)
+    ).astype(jnp.float32)
+    logits_per_image = scale * img @ txt.T
+    return logits_per_image, logits_per_image.T
+
+
+def num_params(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))

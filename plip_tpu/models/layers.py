@@ -1,0 +1,158 @@
+"""Core transformer layers — pure-functional JAX, TPU-first.
+
+Design notes (why this is not a torch translation):
+
+- Parameters for all L transformer blocks are stacked on a leading axis and
+  the stack is consumed with ``lax.scan`` — one compiled block body instead of
+  L unrolled copies (faster XLA compiles, natural remat boundary, and the
+  idiomatic way to pipeline-parallelize later).
+- LayerNorm and softmax always accumulate in fp32 regardless of the compute
+  dtype; matmuls request ``preferred_element_type=float32`` so the MXU
+  accumulates in fp32 even for bf16 inputs. This is what replaces the
+  reference's fp16↔fp32 weight-swap dance
+  (`/root/reference/reproducibility/training_model/clip.py:197-202`).
+- Attention uses a fused QKV projection (one big MXU matmul) rather than
+  separate q/k/v projections.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """QuickGELU: x * sigmoid(1.702 x) — the CLIP activation (SURVEY §7)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def layer_norm(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm with fp32 statistics, output cast back to input dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """x @ kernel + bias with fp32 MXU accumulation."""
+    y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def attention(
+    x: jnp.ndarray,
+    p: Params,
+    heads: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Multi-head self-attention with fused QKV.
+
+    x: [B, S, W]; p: {qkv: {kernel [W, 3W], bias}, out: {kernel [W, W], bias}}
+    mask: optional additive mask [S, S] (fp32, -inf above diagonal for causal).
+    """
+    B, S, W = x.shape
+    head_dim = W // heads
+    qkv = linear(x, p["qkv"])  # [B, S, 3W]
+    qkv = qkv.reshape(B, S, 3, heads, head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, S, H, D]
+
+    scale = head_dim ** -0.5
+    # fp32 logits + softmax island for numerical fidelity in bf16 mode.
+    logits = jnp.einsum(
+        "bshd,bthd->bhst", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhst,bthd->bshd", probs, v, preferred_element_type=jnp.float32)
+    ctx = ctx.astype(x.dtype).reshape(B, S, W)
+    return linear(ctx, p["out"])
+
+
+def mlp(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    return linear(quick_gelu(linear(x, p["fc1"])), p["fc2"])
+
+
+def block(
+    x: jnp.ndarray,
+    p: Params,
+    heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Pre-LN transformer block (residual → attn, residual → MLP)."""
+    x = x + attention(layer_norm(x, p["ln1"], eps), p["attn"], heads, mask)
+    x = x + mlp(layer_norm(x, p["ln2"], eps), p["mlp"])
+    return x
+
+
+def transformer(
+    x: jnp.ndarray,
+    stacked: Params,
+    heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    eps: float = 1e-5,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Run a stack of blocks whose params have a leading layer axis, via scan."""
+
+    def body(h, layer_params):
+        return block(h, layer_params, heads, mask, eps), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, stacked)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _init_linear(key, d_in, d_out, std):
+    kkey, _ = jax.random.split(key)
+    return {
+        "kernel": jax.random.normal(kkey, (d_in, d_out), jnp.float32) * std,
+        "bias": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def _init_ln(width):
+    return {"scale": jnp.ones((width,), jnp.float32), "bias": jnp.zeros((width,), jnp.float32)}
+
+
+def init_block_stack(key, layers: int, width: int) -> Params:
+    """OpenAI-CLIP initialization scheme, stacked on a leading layer axis."""
+    proj_std = (width ** -0.5) * ((2 * layers) ** -0.5)
+    attn_std = width ** -0.5
+    fc_std = (2 * width) ** -0.5
+
+    def init_one(k):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        return {
+            "ln1": _init_ln(width),
+            "attn": {
+                "qkv": _init_linear(k1, width, 3 * width, attn_std),
+                "out": _init_linear(k2, width, width, proj_std),
+            },
+            "ln2": _init_ln(width),
+            "mlp": {
+                "fc1": _init_linear(k3, width, 4 * width, fc_std),
+                "fc2": _init_linear(k4, 4 * width, width, proj_std),
+            },
+        }
+
+    keys = jax.random.split(key, layers)
+    per_layer = [init_one(k) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)

@@ -1,0 +1,305 @@
+"""Checkpoint I/O: PyTorch→JAX weight converters + native save/load.
+
+The reference exercises TWO PyTorch naming schemes for the same ViT-B/32
+weights (SURVEY.md §5 checkpoint row), both of which import here:
+
+- HF ``CLIPModel`` state_dict (used by `/root/reference/plip.py:26`)
+- OpenAI ``clip`` state_dict (used by
+  `/root/reference/reproducibility/embedders/factory.py:21-26`)
+
+Native checkpoints are a flat ``.npz`` of '/'-joined tree paths plus a JSON
+config blob — dependency-free, memory-mappable, and byte-deterministic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import CLIPConfig, TextConfig, VisionConfig
+
+Params = Dict[str, Any]
+
+
+def _np(x) -> np.ndarray:
+    """torch tensor / array-like -> float32 numpy (host)."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    x = np.asarray(x)
+    if x.dtype == np.float16:
+        x = x.astype(np.float32)
+    return x
+
+
+def _num_layers(keys, pattern: str) -> int:
+    rx = re.compile(pattern)
+    idx = [int(m.group(1)) for k in keys for m in [rx.match(k)] if m]
+    return max(idx) + 1 if idx else 0
+
+
+def _stack(layer_dicts):
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *layer_dicts)
+
+
+# ---------------------------------------------------------------------------
+# HF CLIPModel naming
+# ---------------------------------------------------------------------------
+
+
+def from_hf_clip(sd: Dict[str, Any]) -> Tuple[Params, CLIPConfig]:
+    """Convert an HF ``CLIPModel.state_dict()`` to plip_tpu params."""
+    sd = {k: _np(v) for k, v in sd.items()}
+    v_width = sd["vision_model.embeddings.class_embedding"].shape[0]
+    t_width = sd["text_model.embeddings.token_embedding.weight"].shape[1]
+    vocab = sd["text_model.embeddings.token_embedding.weight"].shape[0]
+    ctx = sd["text_model.embeddings.position_embedding.weight"].shape[0]
+    patch = sd["vision_model.embeddings.patch_embedding.weight"].shape[-1]
+    n_pos = sd["vision_model.embeddings.position_embedding.weight"].shape[0]
+    grid = int(round((n_pos - 1) ** 0.5))
+    embed_dim = sd["visual_projection.weight"].shape[0]
+    v_layers = _num_layers(sd, r"vision_model\.encoder\.layers\.(\d+)\.")
+    t_layers = _num_layers(sd, r"text_model\.encoder\.layers\.(\d+)\.")
+
+    cfg = CLIPConfig(
+        vision=VisionConfig(
+            width=v_width, layers=v_layers, heads=max(1, v_width // 64),
+            image_size=grid * patch, patch_size=patch,
+        ),
+        text=TextConfig(
+            width=t_width, layers=t_layers, heads=max(1, t_width // 64),
+            vocab_size=vocab, context_length=ctx,
+        ),
+        embed_dim=embed_dim,
+    )
+
+    def ln(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    def hf_block(prefix):
+        q_w, k_w, v_w = (sd[f"{prefix}.self_attn.{n}_proj.weight"] for n in "qkv")
+        q_b, k_b, v_b = (sd[f"{prefix}.self_attn.{n}_proj.bias"] for n in "qkv")
+        return {
+            "ln1": ln(f"{prefix}.layer_norm1"),
+            "attn": {
+                "qkv": {
+                    "kernel": np.concatenate([q_w.T, k_w.T, v_w.T], axis=1),
+                    "bias": np.concatenate([q_b, k_b, v_b]),
+                },
+                "out": {
+                    "kernel": sd[f"{prefix}.self_attn.out_proj.weight"].T,
+                    "bias": sd[f"{prefix}.self_attn.out_proj.bias"],
+                },
+            },
+            "ln2": ln(f"{prefix}.layer_norm2"),
+            "mlp": {
+                "fc1": {
+                    "kernel": sd[f"{prefix}.mlp.fc1.weight"].T,
+                    "bias": sd[f"{prefix}.mlp.fc1.bias"],
+                },
+                "fc2": {
+                    "kernel": sd[f"{prefix}.mlp.fc2.weight"].T,
+                    "bias": sd[f"{prefix}.mlp.fc2.bias"],
+                },
+            },
+        }
+
+    conv = sd["vision_model.embeddings.patch_embedding.weight"]  # [W, 3, P, P]
+    patch_kernel = conv.transpose(2, 3, 1, 0).reshape(-1, v_width)
+
+    params = {
+        "visual": {
+            "patch_embed": {"kernel": patch_kernel},
+            "class_embedding": sd["vision_model.embeddings.class_embedding"],
+            "pos_embed": sd["vision_model.embeddings.position_embedding.weight"],
+            "ln_pre": ln("vision_model.pre_layrnorm"),  # sic — HF's own key name
+            "blocks": _stack(
+                [hf_block(f"vision_model.encoder.layers.{i}") for i in range(v_layers)]
+            ),
+            "ln_post": ln("vision_model.post_layernorm"),
+            "proj": {"kernel": sd["visual_projection.weight"].T},
+        },
+        "text": {
+            "token_embed": sd["text_model.embeddings.token_embedding.weight"],
+            "pos_embed": sd["text_model.embeddings.position_embedding.weight"],
+            "blocks": _stack(
+                [hf_block(f"text_model.encoder.layers.{i}") for i in range(t_layers)]
+            ),
+            "ln_final": ln("text_model.final_layer_norm"),
+            "proj": {"kernel": sd["text_projection.weight"].T},
+        },
+        "logit_scale": sd["logit_scale"].reshape(()),
+    }
+    return jax.tree.map(jnp.asarray, params), cfg
+
+
+# ---------------------------------------------------------------------------
+# OpenAI clip naming
+# ---------------------------------------------------------------------------
+
+
+def from_openai_clip(sd: Dict[str, Any]) -> Tuple[Params, CLIPConfig]:
+    """Convert an OpenAI ``clip`` state_dict (the `vinid/plip` torch.save
+    format loaded at factory.py:23-25) to plip_tpu params."""
+    sd = {k: _np(v) for k, v in sd.items()}
+    v_width = sd["visual.class_embedding"].shape[0]
+    t_width = sd["token_embedding.weight"].shape[1]
+    vocab = sd["token_embedding.weight"].shape[0]
+    ctx = sd["positional_embedding"].shape[0]
+    patch = sd["visual.conv1.weight"].shape[-1]
+    n_pos = sd["visual.positional_embedding"].shape[0]
+    grid = int(round((n_pos - 1) ** 0.5))
+    embed_dim = sd["text_projection"].shape[1]
+    v_layers = _num_layers(sd, r"visual\.transformer\.resblocks\.(\d+)\.")
+    t_layers = _num_layers(sd, r"transformer\.resblocks\.(\d+)\.")
+
+    cfg = CLIPConfig(
+        vision=VisionConfig(
+            width=v_width, layers=v_layers, heads=max(1, v_width // 64),
+            image_size=grid * patch, patch_size=patch,
+        ),
+        text=TextConfig(
+            width=t_width, layers=t_layers, heads=max(1, t_width // 64),
+            vocab_size=vocab, context_length=ctx,
+        ),
+        embed_dim=embed_dim,
+    )
+
+    def ln(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    def oa_block(prefix):
+        return {
+            "ln1": ln(f"{prefix}.ln_1"),
+            "attn": {
+                "qkv": {
+                    "kernel": sd[f"{prefix}.attn.in_proj_weight"].T,  # rows q,k,v
+                    "bias": sd[f"{prefix}.attn.in_proj_bias"],
+                },
+                "out": {
+                    "kernel": sd[f"{prefix}.attn.out_proj.weight"].T,
+                    "bias": sd[f"{prefix}.attn.out_proj.bias"],
+                },
+            },
+            "ln2": ln(f"{prefix}.ln_2"),
+            "mlp": {
+                "fc1": {
+                    "kernel": sd[f"{prefix}.mlp.c_fc.weight"].T,
+                    "bias": sd[f"{prefix}.mlp.c_fc.bias"],
+                },
+                "fc2": {
+                    "kernel": sd[f"{prefix}.mlp.c_proj.weight"].T,
+                    "bias": sd[f"{prefix}.mlp.c_proj.bias"],
+                },
+            },
+        }
+
+    conv = sd["visual.conv1.weight"]  # [W, 3, P, P], bias=False
+    patch_kernel = conv.transpose(2, 3, 1, 0).reshape(-1, v_width)
+
+    params = {
+        "visual": {
+            "patch_embed": {"kernel": patch_kernel},
+            "class_embedding": sd["visual.class_embedding"],
+            "pos_embed": sd["visual.positional_embedding"],
+            "ln_pre": ln("visual.ln_pre"),
+            "blocks": _stack(
+                [oa_block(f"visual.transformer.resblocks.{i}") for i in range(v_layers)]
+            ),
+            "ln_post": ln("visual.ln_post"),
+            "proj": {"kernel": sd["visual.proj"]},  # already [width, embed]
+        },
+        "text": {
+            "token_embed": sd["token_embedding.weight"],
+            "pos_embed": sd["positional_embedding"],
+            "blocks": _stack(
+                [oa_block(f"transformer.resblocks.{i}") for i in range(t_layers)]
+            ),
+            "ln_final": ln("ln_final"),
+            "proj": {"kernel": sd["text_projection"]},  # already [width, embed]
+        },
+        "logit_scale": sd["logit_scale"].reshape(()),
+    }
+    return jax.tree.map(jnp.asarray, params), cfg
+
+
+def from_torch_state_dict(sd: Dict[str, Any]) -> Tuple[Params, CLIPConfig]:
+    """Auto-detect HF vs OpenAI naming (the two load paths in the reference)."""
+    if any(k.startswith("vision_model.") for k in sd):
+        return from_hf_clip(sd)
+    if any(k.startswith("visual.") for k in sd):
+        return from_openai_clip(sd)
+    raise ValueError(
+        "Unrecognized state_dict naming: expected HF CLIPModel ('vision_model.*') "
+        "or OpenAI clip ('visual.*') keys"
+    )
+
+
+def load_torch_checkpoint(path: str) -> Tuple[Params, CLIPConfig]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return from_torch_state_dict(sd)
+
+
+# ---------------------------------------------------------------------------
+# Native format (flat npz + json config)
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree: Params, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Params:
+    tree: Params = {}
+    for path, val in flat.items():
+        parts = path.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(val)
+    return tree
+
+
+def save_checkpoint(path: str, params: Params, cfg: CLIPConfig) -> None:
+    flat = _flatten(jax.tree.map(lambda x: np.asarray(x), params))
+    cfg_json = json.dumps(
+        {
+            "vision": dataclasses.asdict(cfg.vision),
+            "text": dataclasses.asdict(cfg.text),
+            "embed_dim": cfg.embed_dim,
+            "logit_scale_init": cfg.logit_scale_init,
+            "logit_scale_max": cfg.logit_scale_max,
+            "ln_eps": cfg.ln_eps,
+        }
+    )
+    np.savez(path, __config__=np.frombuffer(cfg_json.encode(), dtype=np.uint8), **flat)
+
+
+def load_checkpoint(path: str) -> Tuple[Params, CLIPConfig]:
+    data = np.load(path, allow_pickle=False)
+    cfg_json = json.loads(bytes(data["__config__"]).decode())
+    cfg = CLIPConfig(
+        vision=VisionConfig(**cfg_json["vision"]),
+        text=TextConfig(**cfg_json["text"]),
+        embed_dim=cfg_json["embed_dim"],
+        logit_scale_init=cfg_json["logit_scale_init"],
+        logit_scale_max=cfg_json["logit_scale_max"],
+        ln_eps=cfg_json["ln_eps"],
+    )
+    flat = {k: data[k] for k in data.files if k != "__config__"}
+    return _unflatten(flat), cfg
