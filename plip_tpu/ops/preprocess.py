@@ -1,0 +1,118 @@
+"""Device-side image preprocessing: resize → crop → rescale → normalize.
+
+Replaces the reference's host-bound torchvision pipeline
+(`/root/reference/reproducibility/embedders/transform.py:45-52`) and the HF
+``CLIPProcessor`` image path (`/root/reference/plip.py:32-35`) with a single
+jitted device computation: two MXU matmuls (PIL-convention bicubic resize with
+center-crop composed in — see ops/resize.py) plus a fused affine normalize.
+XLA fuses the /255, mean-subtract and std-divide into the second matmul's
+epilogue, so the whole pipeline is two matmuls per image.
+
+Static-shape policy: one compiled executable per distinct input (H, W); batches
+of mixed sizes are grouped by shape on host. The dominant pathology workload
+(uniform WSI tiles) compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+from .resize import resize_crop_matrices
+
+Array = jnp.ndarray
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_size", "mean", "std", "dtype", "emulate_uint8")
+)
+def _preprocess_same_shape(
+    images: Array,  # [B, H, W, 3] uint8 or float
+    row_mat: Array,  # [out, H]
+    col_mat: Array,  # [out, W]
+    out_size: int = 224,
+    mean: tuple = CLIP_IMAGE_MEAN,
+    std: tuple = CLIP_IMAGE_STD,
+    dtype: jnp.dtype = jnp.float32,
+    emulate_uint8: bool = True,
+) -> Array:
+    x = images.astype(jnp.float32)
+
+    def quant(v):
+        # PIL stores each resample pass as uint8 (round-half-up + clip); the
+        # clip also kills bicubic overshoot. Cheap VPU elementwise, fused by
+        # XLA into the matmul epilogues.
+        if not emulate_uint8:
+            return v
+        return jnp.clip(jnp.floor(v + 0.5), 0.0, 255.0)
+
+    # Resize+crop: out[b,i,j,c] = sum_{y,x} R[i,y] C[j,x] img[b,y,x,c].
+    # PIL runs the horizontal (width) pass first, then vertical.
+    x = jnp.einsum("jx,byxc->byjc", col_mat, x, preferred_element_type=jnp.float32)
+    x = quant(x)
+    x = jnp.einsum("iy,byjc->bijc", row_mat, x, preferred_element_type=jnp.float32)
+    x = quant(x)
+    mean_arr = jnp.asarray(mean, jnp.float32) * 255.0
+    std_arr = jnp.asarray(std, jnp.float32) * 255.0
+    x = (x - mean_arr) / std_arr  # fused /255 + normalize
+    return x.astype(dtype)
+
+
+def preprocess_batch(
+    images: Union[np.ndarray, Array],
+    out_size: int = 224,
+    mean: tuple = CLIP_IMAGE_MEAN,
+    std: tuple = CLIP_IMAGE_STD,
+    dtype: jnp.dtype = jnp.float32,
+) -> Array:
+    """Uniform-shape batch [B, H, W, 3] (uint8 RGB) -> [B, out, out, 3]."""
+    if images.ndim == 3:
+        images = images[None]
+    _, h, w, _ = images.shape
+    R, C = resize_crop_matrices(h, w, out_size, out_size)
+    return _preprocess_same_shape(
+        jnp.asarray(images), jnp.asarray(R), jnp.asarray(C),
+        out_size=out_size, mean=tuple(mean), std=tuple(std), dtype=dtype,
+    )
+
+
+def preprocess_images(
+    images: Sequence,
+    out_size: int = 224,
+    mean: tuple = CLIP_IMAGE_MEAN,
+    std: tuple = CLIP_IMAGE_STD,
+    dtype: jnp.dtype = jnp.float32,
+) -> Array:
+    """Mixed-size host images (PIL / numpy HWC uint8) -> [N, out, out, 3].
+
+    Groups by (H, W) so each distinct shape compiles once, preserving input
+    order in the output.
+    """
+    arrays: List[np.ndarray] = []
+    for im in images:
+        if hasattr(im, "convert"):  # PIL
+            im = np.asarray(im.convert("RGB"))
+        im = np.asarray(im)
+        if im.ndim == 2:
+            im = np.stack([im] * 3, axis=-1)
+        arrays.append(im)
+
+    groups = {}
+    for idx, arr in enumerate(arrays):
+        groups.setdefault(arr.shape[:2], []).append(idx)
+
+    out = [None] * len(arrays)
+    for _, idxs in groups.items():
+        batch = np.stack([arrays[i] for i in idxs])
+        done = preprocess_batch(batch, out_size, mean, std, dtype)
+        for row, i in enumerate(idxs):
+            out[i] = done[row]
+    return jnp.stack(out)
