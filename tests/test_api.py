@@ -1,0 +1,107 @@
+"""End-to-end API tests: the BASELINE config-1 shape (images + prompts ->
+classification) on CPU, with a tiny checkpoint."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from plip_tpu.api import PLIP
+from plip_tpu.models import clip as jclip
+from plip_tpu.models.config import CLIPConfig
+from plip_tpu.utils.checkpoint import save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    # tiny() uses 32px images — but the preprocess pipeline outputs 224; use a
+    # small-but-224 config so the full image path runs.
+    cfg = CLIPConfig(
+        vision=CLIPConfig.tiny().vision.__class__(
+            width=64, layers=2, heads=4, image_size=224, patch_size=32
+        ),
+        text=CLIPConfig.tiny().text.__class__(
+            width=32, layers=2, heads=4, vocab_size=49408, context_length=77
+        ),
+        embed_dim=24,
+    )
+    params = jclip.init_params(jax.random.PRNGKey(7), cfg)
+    path = str(tmp_path_factory.mktemp("ckpt") / "tiny.npz")
+    save_checkpoint(path, params, cfg)
+    return path
+
+
+@pytest.fixture(scope="module")
+def model(tiny_ckpt):
+    return PLIP(tiny_ckpt)
+
+
+@pytest.fixture(scope="module")
+def images(tmp_path_factory):
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    d = tmp_path_factory.mktemp("imgs")
+    paths = []
+    for i in range(8):
+        arr = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+        p = str(d / f"img_{i}.jpg")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    return paths
+
+
+def test_encode_images_paths(model, images):
+    emb = model.encode_images(images, batch_size=3)  # uneven batches
+    assert emb.shape == (8, 24)
+    assert emb.dtype == np.float32
+    # unnormalized contract
+    norms = np.linalg.norm(emb, axis=-1)
+    assert not np.allclose(norms, 1.0)
+
+
+def test_encode_text(model):
+    emb = model.encode_text(
+        ["an H&E image of benign tissue", "an H&E image of malignant tissue"],
+        batch_size=8,
+    )
+    assert emb.shape == (2, 24)
+
+
+def test_batch_padding_consistency(model, images):
+    """Padded final batch must give identical embeddings to exact batches."""
+    a = model.encode_images(images[:5], batch_size=5)
+    b = model.encode_images(images[:5], batch_size=4)  # 4 + 1-padded-to-4
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_zero_shot_classification(model, images):
+    labels = ["benign", "malignant", "normal", "tumor"]
+    preds = model.zero_shot_classification(images, labels)
+    assert len(preds) == 8
+    assert all(p in labels for p in preds)
+
+
+def test_retrieval_requires_index(model):
+    m = PLIP(model.model_name)
+    with pytest.raises(RuntimeError, match="image index"):
+        m.retrieval(["benign tissue"])
+
+
+def test_retrieval(model, images):
+    model.build_image_index(images, batch_size=4)
+    nn = model.retrieval(["an image of tumor", "benign tissue"], top_k=3)
+    assert nn.shape == (2, 3)
+    assert set(nn.ravel()) <= set(range(8))
+
+
+def test_random_arch_fallback():
+    m = PLIP("random:ViT-B/32")
+    assert m.cfg.vision.width == 768
+    assert m.cfg.text.vocab_size == 49408
+
+
+def test_missing_checkpoint_warns():
+    with pytest.warns(UserWarning, match="no network access"):
+        PLIP("vinid/plip")
