@@ -26,7 +26,7 @@ def main():
     from plip_tpu.models import clip as jclip
     from plip_tpu.models.config import CLIPConfig
 
-    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 1024
+    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 512
     iters = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else 30
 
     cfg = CLIPConfig.vit_b32()

@@ -1,0 +1,112 @@
+"""Dataset wrappers — torch-free rebuilds of
+`/root/reference/reproducibility/embedders/internal_datasets.py:6-58`.
+
+Same four shapes (image+caption, caption-only, image-only, image+label), same
+PIL robustness settings (tolerate truncated files, unbounded pixel count —
+internal_datasets.py:3-4), but framework-native: plain indexable objects whose
+items are host numpy, consumed by the prefetching loader in data/loader.py
+instead of a torch DataLoader.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+try:
+    from PIL import Image, ImageFile
+
+    ImageFile.LOAD_TRUNCATED_IMAGES = True
+    Image.MAX_IMAGE_PIXELS = None
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover
+    _HAS_PIL = False
+
+
+def load_image_rgb(path_or_img) -> np.ndarray:
+    """Path/PIL/array -> HWC uint8 RGB numpy."""
+    if isinstance(path_or_img, np.ndarray):
+        arr = path_or_img
+    elif hasattr(path_or_img, "convert"):
+        arr = np.asarray(path_or_img.convert("RGB"))
+    else:
+        if not _HAS_PIL:
+            raise RuntimeError("PIL required to open image paths")
+        arr = np.asarray(Image.open(path_or_img).convert("RGB"))
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    return arr.astype(np.uint8)
+
+
+class ImageCaptionDataset:
+    """df columns: image, caption (internal_datasets.py:6-18)."""
+
+    def __init__(self, df, preprocessing: Optional[Callable] = None):
+        self.images: List = list(df["image"])
+        self.captions: List = list(df["caption"])
+        self.preprocessing = preprocessing
+
+    def __len__(self):
+        return len(self.captions)
+
+    def __getitem__(self, idx):
+        img = load_image_rgb(self.images[idx])
+        if self.preprocessing is not None:
+            img = self.preprocessing(img)
+        return img, self.captions[idx]
+
+
+class CaptionDataset:
+    """Caption-only (internal_datasets.py:21-30)."""
+
+    def __init__(self, captions: Sequence[str]):
+        self.captions = list(captions)
+
+    def __len__(self):
+        return len(self.captions)
+
+    def __getitem__(self, idx):
+        return self.captions[idx]
+
+
+class ImageDataset:
+    """Image-only (internal_datasets.py:33-43)."""
+
+    def __init__(self, list_of_images: Sequence, preprocessing: Optional[Callable] = None):
+        self.images = list(list_of_images)
+        self.preprocessing = preprocessing
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, idx):
+        img = load_image_rgb(self.images[idx])
+        if self.preprocessing is not None:
+            img = self.preprocessing(img)
+        return img
+
+
+class ImageLabelDataset:
+    """df columns: image, label (internal_datasets.py:46-58)."""
+
+    def __init__(self, df, preprocessing: Optional[Callable] = None):
+        self.images: List = list(df["image"])
+        self.labels: List = list(df["label"])
+        self.preprocessing = preprocessing
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, idx):
+        img = load_image_rgb(self.images[idx])
+        if self.preprocessing is not None:
+            img = self.preprocessing(img)
+        return img, self.labels[idx]
+
+
+# Reference-compatible aliases
+CLIPImageCaptioningDataset = ImageCaptionDataset
+CLIPCaptioningDataset = CaptionDataset
+CLIPImageDataset = ImageDataset
+CLIPImageLabelDataset = ImageLabelDataset
