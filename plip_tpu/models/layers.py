@@ -79,8 +79,15 @@ def attention(
     return linear(ctx, p["out"])
 
 
-def mlp(x: jnp.ndarray, p: Params) -> jnp.ndarray:
-    return linear(quick_gelu(linear(x, p["fc1"])), p["fc2"])
+ACTIVATIONS = {
+    "quick_gelu": quick_gelu,
+    "gelu": jax.nn.gelu,  # exact GELU (torchvision ViT)
+    "relu": jax.nn.relu,
+}
+
+
+def mlp(x: jnp.ndarray, p: Params, act: str = "quick_gelu") -> jnp.ndarray:
+    return linear(ACTIVATIONS[act](linear(x, p["fc1"])), p["fc2"])
 
 
 def block(
@@ -89,10 +96,11 @@ def block(
     heads: int,
     mask: Optional[jnp.ndarray] = None,
     eps: float = 1e-5,
+    act: str = "quick_gelu",
 ) -> jnp.ndarray:
     """Pre-LN transformer block (residual → attn, residual → MLP)."""
     x = x + attention(layer_norm(x, p["ln1"], eps), p["attn"], heads, mask)
-    x = x + mlp(layer_norm(x, p["ln2"], eps), p["mlp"])
+    x = x + mlp(layer_norm(x, p["ln2"], eps), p["mlp"], act)
     return x
 
 
@@ -103,11 +111,12 @@ def transformer(
     mask: Optional[jnp.ndarray] = None,
     eps: float = 1e-5,
     remat: bool = False,
+    act: str = "quick_gelu",
 ) -> jnp.ndarray:
     """Run a stack of blocks whose params have a leading layer axis, via scan."""
 
     def body(h, layer_params):
-        return block(h, layer_params, heads, mask, eps), None
+        return block(h, layer_params, heads, mask, eps, act), None
 
     if remat:
         body = jax.checkpoint(body)

@@ -1,0 +1,216 @@
+"""High-level contrastive tuner — rebuild of
+`/root/reference/reproducibility/training_model/clip.py:78-226` on the
+TPU-native train step (train/contrastive.py) and the device-side augmentation
+pipeline (ops/augment.py).
+
+Contract preserved: ``CLIPTuner(args, logging, model_type, lr, weight_decay,
+warmup).tuner(train_df, val_df, save_dir, batch_size, epochs,
+evaluation_steps, num_workers)`` → per-epoch checkpoints named
+``epoch_{e}_{start_time}_model.pt``-style (ours are ``.npz``), returns the
+checkpoint suffix (clip.py:221-226). Periodic validation every
+``evaluation_steps`` (clip.py:208-211). The reference's missing ``import
+clip`` bug (used at clip.py:61,133 — a latent NameError) has no analog here.
+
+Also exports the module-level helpers (zero_shot_classification /
+image_embedder / text_embedder, clip.py:21-71).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.datasets import ImageCaptionDataset, ImageDataset
+from ..data.loader import PrefetchLoader
+from ..data.transform import TrainTransform
+from ..models import clip as jclip
+from ..ops.augment import AugmentConfig, augment_batch
+from ..ops.preprocess import preprocess_images
+from ..tokenizer import default_tokenizer
+from ..utils.checkpoint import save_checkpoint
+from .contrastive import (
+    clip_loss,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+
+class CLIPTuner:
+    def __init__(
+        self,
+        args=None,
+        logging=None,
+        model_type: str = "ViT-B/32",
+        lr: float = 5e-5,
+        weight_decay: float = 0.2,
+        warmup: int = 50,
+        px_size: int = 224,
+        backbone: Optional[str] = None,
+        dtype=jnp.float32,
+        mesh=None,
+        seed: int = 0,
+        aug_cfg: Optional[AugmentConfig] = None,
+    ):
+        import logging as _logging
+
+        self.args = args
+        self.logging = logging or _logging
+        self.warmup = warmup
+        self.hyper_params = {"lr": lr, "weight_decay": weight_decay}
+        self.dtype = dtype
+        self.mesh = mesh
+
+        if backbone:
+            from ..utils.checkpoint import load_checkpoint, load_torch_checkpoint
+
+            if backbone.endswith(".npz"):
+                self.params, self.cfg = load_checkpoint(backbone)
+            else:
+                self.params, self.cfg = load_torch_checkpoint(backbone)
+        else:
+            from ..models.config import ARCHITECTURES
+
+            self.cfg = ARCHITECTURES[model_type]()
+            self.params = jclip.init_params(jax.random.PRNGKey(seed), self.cfg)
+
+        first_resize = getattr(args, "first_resize", 512) if args else 512
+        n_px = getattr(args, "pxsize", px_size) if args else px_size
+        self.train_preprocess = TrainTransform(first_resize=first_resize, n_px=n_px)
+        self.aug_cfg = aug_cfg if aug_cfg is not None else AugmentConfig(out_size=n_px)
+        self.tokenizer = default_tokenizer()
+        self.optimizer_name = getattr(args, "optimizer", "AdamW") if args else "AdamW"
+
+    def _tokenize(self, captions):
+        return jnp.asarray(
+            self.tokenizer.tokenize(list(captions), self.cfg.text.context_length)
+        )
+
+    def valid_evaluation(self, validation_loader) -> float:
+        """Sum of per-batch mean InfoNCE losses (clip.py:120-146)."""
+        total = 0.0
+        for (images, captions), n in validation_loader:
+            pixels = preprocess_images(list(images[:n]))
+            ids = self._tokenize(captions[:n])
+            loss, _ = self._eval_loss(self.state.params, pixels, ids)
+            total += float(loss)
+        return total
+
+    def tuner(
+        self,
+        train_dataframe,
+        validation_dataframe,
+        save_directory: str = ".",
+        batch_size: int = 4,
+        epochs: int = 5,
+        evaluation_steps: int = 500,
+        num_workers: int = 4,
+        start_time: Optional[str] = None,
+    ) -> str:
+        start_time = start_time or str(datetime.now())
+        cfg = self.cfg
+
+        train_ds = ImageCaptionDataset(train_dataframe, self.train_preprocess)
+        valid_ds = ImageCaptionDataset(validation_dataframe)  # eval preprocess on device
+
+        num_batches_per_epoch = -(-len(train_ds) // batch_size)
+        total_steps = num_batches_per_epoch * epochs
+        opt = make_optimizer(
+            base_lr=self.hyper_params["lr"],
+            warmup=self.warmup,
+            total_steps=total_steps,
+            weight_decay=self.hyper_params["weight_decay"],
+        )
+        params = self.params
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            params = shard_params(params, self.mesh)
+        self.state = init_train_state(params, opt)
+        step_fn = make_train_step(cfg, opt, dtype=self.dtype)
+        self._eval_loss = jax.jit(
+            lambda p, px, ids: clip_loss(p, px, ids, cfg, self.dtype)
+        )
+
+        key = jax.random.PRNGKey(0)
+        for epoch in range(epochs):
+            train_loader = PrefetchLoader(
+                train_ds, batch_size, num_workers=num_workers, device_put=False
+            )
+            train_loss_this_epoch = 0.0
+            for i, ((images, captions), n) in enumerate(train_loader):
+                if n < batch_size:
+                    continue  # InfoNCE over arange labels needs full batches
+                step = num_batches_per_epoch * epoch + i
+                key, sub = jax.random.split(key)
+                pixels = augment_batch(sub, jnp.asarray(images), self.aug_cfg)
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_batch
+
+                    pixels, ids = shard_batch(
+                        (pixels, self._tokenize(captions)), self.mesh
+                    )
+                else:
+                    ids = self._tokenize(captions)
+                self.state, metrics = step_fn(self.state, pixels, ids)
+                train_loss_this_epoch += float(metrics["loss"])
+                self.logging.info(
+                    f"[Train - this batch] epoch: {epoch}, batch: {i}, "
+                    f"loss: {float(metrics['loss']):.4f}"
+                )
+                if evaluation_steps and step % evaluation_steps == 0:
+                    vloss = self.valid_evaluation(
+                        PrefetchLoader(valid_ds, batch_size, num_workers=num_workers,
+                                       device_put=False)
+                    )
+                    self.logging.info(
+                        f"[Validation - this batch] epoch: {epoch}, batch: {i}, "
+                        f"total loss: {vloss}"
+                    )
+
+            self.logging.info(
+                f"[Train - final] epoch: {epoch}, total loss: {train_loss_this_epoch}"
+            )
+            vloss = self.valid_evaluation(
+                PrefetchLoader(valid_ds, batch_size, num_workers=num_workers,
+                               device_put=False)
+            )
+            self.logging.info(
+                f"[Validation - final] epoch: {epoch}, total loss: {vloss}"
+            )
+            save_checkpoint(
+                f"{save_directory}/epoch_{epoch}_{start_time}_model.npz",
+                jax.device_get(self.state.params),
+                cfg,
+            )
+
+        self.params = self.state.params
+        return f"_{start_time}_model.npz"
+
+
+# ---------------------------------------------------------------------------
+# Module-level helpers (training_model/clip.py:21-71)
+# ---------------------------------------------------------------------------
+
+
+def image_embedder(model, list_of_images, num_workers: int = 4, batch_size: int = 32):
+    """model: plip_tpu.api.PLIP. Returns L2-normalized embeddings."""
+    emb = model.encode_images(list(list_of_images), batch_size=batch_size)
+    return emb / np.linalg.norm(emb, axis=1, keepdims=True)
+
+
+def text_embedder(model, list_of_labels, num_workers: int = 1, batch_size: int = 32):
+    emb = model.encode_text(list(list_of_labels), batch_size=batch_size)
+    return emb / np.linalg.norm(emb, axis=1, keepdims=True)
+
+
+def zero_shot_classification(model, images, labels, num_workers: int = 1, batch_size: int = 32):
+    image_embeddings = image_embedder(model, images, num_workers, batch_size)
+    text_embeddings = text_embedder(model, labels, num_workers, batch_size)
+    score = image_embeddings.dot(text_embeddings.T)
+    return [labels[np.argmax(i)] for i in score]

@@ -1,0 +1,179 @@
+"""End-to-end tests for CLIPTuner (contrastive) and FineTuner (supervised)
+on tiny configs + synthetic datasets."""
+
+import os
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import jax
+
+pd = pytest.importorskip("pandas")
+
+from plip_tpu.models import clip as jclip
+from plip_tpu.models.config import CLIPConfig, TextConfig, VisionConfig
+from plip_tpu.utils.checkpoint import save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    cfg = CLIPConfig(
+        vision=VisionConfig(width=32, layers=2, heads=2, image_size=224, patch_size=32),
+        text=TextConfig(width=32, layers=2, heads=2, vocab_size=49408, context_length=77),
+        embed_dim=16,
+    )
+    params = jclip.init_params(jax.random.PRNGKey(3), cfg)
+    path = str(tmp_path_factory.mktemp("t") / "tiny.npz")
+    save_checkpoint(path, params, cfg)
+    return path
+
+
+@pytest.fixture(scope="module")
+def image_caption_df(tmp_path_factory):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    d = tmp_path_factory.mktemp("traindata")
+    rows = []
+    for i in range(8):
+        arr = rng.integers(0, 256, (240, 260, 3), dtype=np.uint8)
+        p = str(d / f"im_{i}.jpg")
+        Image.fromarray(arr).save(p)
+        rows.append({"image": p, "caption": f"an H&E image of class {i % 2}"})
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def image_label_df(image_caption_df):
+    df = image_caption_df.copy()
+    df["label"] = [i % 2 for i in range(len(df))]
+    return df[["image", "label"]]
+
+
+def test_clip_tuner_end_to_end(tiny_ckpt, image_caption_df, tmp_path):
+    from plip_tpu.train.clip_tuner import CLIPTuner
+
+    tuner = CLIPTuner(
+        args=SimpleNamespace(first_resize=256, pxsize=224, optimizer="AdamW"),
+        backbone=tiny_ckpt,
+        lr=1e-4,
+        warmup=2,
+    )
+    suffix = tuner.tuner(
+        image_caption_df,
+        image_caption_df.iloc[:4],
+        save_directory=str(tmp_path),
+        batch_size=4,
+        epochs=2,
+        evaluation_steps=0,
+        num_workers=2,
+        start_time="teststamp",
+    )
+    assert suffix == "_teststamp_model.npz"
+    assert os.path.exists(tmp_path / "epoch_0_teststamp_model.npz")
+    assert os.path.exists(tmp_path / "epoch_1_teststamp_model.npz")
+    # checkpoint loads back
+    from plip_tpu.utils.checkpoint import load_checkpoint
+
+    params, cfg = load_checkpoint(str(tmp_path / "epoch_1_teststamp_model.npz"))
+    assert cfg.embed_dim == 16
+
+
+def test_clip_tuner_learns(tiny_ckpt, image_caption_df, tmp_path):
+    """Two distinct (image, caption) pairs, many steps: loss must drop."""
+    from plip_tpu.train.clip_tuner import CLIPTuner
+    import logging
+
+    records = []
+
+    class Cap:
+        def info(self, msg):
+            records.append(msg)
+
+    from plip_tpu.ops.augment import AugmentConfig
+
+    df = image_caption_df.iloc[:4]
+    # deterministic augmentation so the loss trend is clean
+    ident_aug = AugmentConfig(
+        out_size=224, hflip_prob=0.0, degrees=0.0, translate=(0.0, 0.0),
+        scale_range=(1.0, 1.0), shear=(0.0, 0.0), perspective_prob=0.0,
+    )
+    tuner = CLIPTuner(
+        args=SimpleNamespace(first_resize=224, pxsize=224, optimizer="AdamW"),
+        backbone=tiny_ckpt,
+        lr=5e-4,
+        warmup=2,
+        logging=Cap(),
+        aug_cfg=ident_aug,
+    )
+    tuner.tuner(
+        df, df, save_directory=str(tmp_path), batch_size=4, epochs=6,
+        evaluation_steps=0, num_workers=2, start_time="learn",
+    )
+    losses = [
+        float(m.split("loss: ")[1])
+        for m in records
+        if m.startswith("[Train - this batch]")
+    ]
+    assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.parametrize("model_name", ["plip", "resnet18"])
+def test_finetuner_end_to_end(tiny_ckpt, image_label_df, model_name):
+    from plip_tpu.train.finetune import FineTuner
+
+    args = SimpleNamespace(
+        model_name=model_name, optimizer="AdamW", PC_CLIP_ARCH="ViT-B/32"
+    )
+    ft = FineTuner(
+        args=args,
+        backbone=tiny_ckpt if model_name == "plip" else None,
+        num_classes=2,
+        lr=1e-4,
+    )
+    perf = ft.tuner(
+        image_label_df,
+        image_label_df.iloc[:4],
+        test_dataframe=image_label_df.iloc[4:],
+        batch_size=4,
+        epochs=2,
+        evaluation_steps=0,
+        num_workers=2,
+    )
+    assert list(perf.columns)[:4] == ["epoch", "loss", "f1_weighted", "f1_macro"]
+    assert len(perf) == 2
+    assert "f1_test_weighted" in perf.columns
+    assert perf["f1_weighted"].dtype == float
+
+
+def test_finetuner_clip_backbone_guard(tiny_ckpt):
+    from plip_tpu.train.finetune import FineTuner
+
+    with pytest.raises(Exception, match="wrong"):
+        FineTuner(
+            args=SimpleNamespace(model_name="clip", optimizer="AdamW",
+                                 PC_CLIP_ARCH="ViT-B/32"),
+            backbone=tiny_ckpt,
+            num_classes=2,
+        )
+
+
+def test_finetuner_unknown_model():
+    from plip_tpu.train.finetune import FineTuner
+
+    with pytest.raises(Exception, match="No such model"):
+        FineTuner(args=SimpleNamespace(model_name="alexnet", optimizer="AdamW"),
+                  num_classes=2)
+
+
+def test_finetuner_adam_is_adam():
+    """The reference's 'Adam'→Adagrad copy-paste bug must NOT be replicated."""
+    from plip_tpu.train.finetune import _make_optimizer
+    import optax
+
+    opt = _make_optimizer("Adam", 1e-3, 0.0)
+    adam_state = opt.init({"w": np.zeros(3, np.float32)})
+    # Adam state carries mu and nu; Adagrad state carries sum-of-squares only
+    names = str(type(adam_state[0]) if isinstance(adam_state, tuple) else adam_state)
+    assert "Adam" in names or "ScaleByAdam" in str(adam_state)
