@@ -25,15 +25,27 @@ except ImportError:  # pragma: no cover
 
 
 def load_image_rgb(path_or_img) -> np.ndarray:
-    """Path/PIL/array -> HWC uint8 RGB numpy."""
+    """Path/PIL/array -> HWC uint8 RGB numpy.
+
+    JPEG paths go through the native libjpeg pool (plip_tpu.native) when it's
+    built — bit-identical to PIL's decode, no Image-object overhead, GIL-free
+    under the threaded loader; anything else (or on failure) falls back to PIL.
+    """
     if isinstance(path_or_img, np.ndarray):
         arr = path_or_img
     elif hasattr(path_or_img, "convert"):
         arr = np.asarray(path_or_img.convert("RGB"))
     else:
-        if not _HAS_PIL:
-            raise RuntimeError("PIL required to open image paths")
-        arr = np.asarray(Image.open(path_or_img).convert("RGB"))
+        arr = None
+        if str(path_or_img).lower().endswith((".jpg", ".jpeg")):
+            from .. import native
+
+            if native.available():
+                arr = native.decode_jpeg(str(path_or_img))
+        if arr is None:
+            if not _HAS_PIL:
+                raise RuntimeError("PIL required to open image paths")
+            arr = np.asarray(Image.open(path_or_img).convert("RGB"))
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
     return arr.astype(np.uint8)
