@@ -92,6 +92,43 @@ def init_train_state(
     )
 
 
+def save_train_state(path: str, state: TrainState, cfg: CLIPConfig) -> None:
+    """Full checkpoint: params + optimizer state + step — enables resume,
+    which the reference cannot do (SURVEY.md §5: torch.save of model
+    state_dict only, no optimizer/step)."""
+    import numpy as np
+
+    from ..utils.checkpoint import _flatten, save_checkpoint
+
+    save_checkpoint(path, jax.device_get(state.params), cfg)
+    flat_opt, treedef = jax.tree.flatten(jax.device_get(state.opt_state))
+    np.savez(
+        path + ".opt",
+        __step__=np.asarray(state.step),
+        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat_opt)},
+    )
+
+
+def load_train_state(
+    path: str, optimizer: optax.GradientTransformation
+) -> Tuple[TrainState, "CLIPConfig"]:
+    """Resume from save_train_state output. The optimizer must be constructed
+    identically (same schedule/hparams) — its state treedef is rebuilt from a
+    fresh init and filled with the saved leaves."""
+    import numpy as np
+
+    from ..utils.checkpoint import load_checkpoint
+
+    params, cfg = load_checkpoint(path)
+    data = np.load(path + ".opt.npz", allow_pickle=False)
+    fresh = optimizer.init(params)
+    flat, treedef = jax.tree.flatten(fresh)
+    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(flat))]
+    opt_state = jax.tree.unflatten(treedef, leaves)
+    step = jnp.asarray(data["__step__"])
+    return TrainState(params=params, opt_state=opt_state, step=step), cfg
+
+
 def make_train_step(
     cfg: CLIPConfig,
     optimizer: optax.GradientTransformation,

@@ -1,0 +1,82 @@
+"""Aux subsystems: throughput meter, metric logger, train-state resume."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from plip_tpu.models import clip as jclip
+from plip_tpu.models.config import CLIPConfig
+from plip_tpu.train.contrastive import (
+    init_train_state,
+    load_train_state,
+    make_optimizer,
+    make_train_step,
+    save_train_state,
+)
+from plip_tpu.utils.profiling import MetricLogger, ThroughputMeter, trace
+
+
+def test_throughput_meter():
+    m = ThroughputMeter()
+    m.start()
+    for _ in range(5):
+        m.step(10)
+    s = m.summary()
+    assert s["total_items"] == 50
+    assert s["items_per_sec"] > 0
+    assert s["p95_latency_s"] >= s["p50_latency_s"]
+
+
+def test_metric_logger(tmp_path):
+    path = str(tmp_path / "metrics.jsonl")
+    ml = MetricLogger(path)
+    ml.log(0, loss=1.5, lr=1e-4)
+    ml.log(1, loss=jnp.asarray(1.2))
+    ml.close()
+    recs = [json.loads(l) for l in open(path)]
+    assert recs[0]["loss"] == 1.5
+    assert abs(recs[1]["loss"] - 1.2) < 1e-6
+    assert all("time_s" in r for r in recs)
+
+
+def test_trace_noop():
+    with trace() as info:
+        _ = jnp.ones(4).sum()
+    assert info["wall_time_s"] > 0
+
+
+def test_train_state_resume(tmp_path):
+    cfg = CLIPConfig.tiny()
+    params = jclip.init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(base_lr=1e-3, warmup=2, total_steps=20)
+    step_fn = make_train_step(cfg, opt)
+    state = init_train_state(params, opt)
+
+    rng = np.random.default_rng(0)
+    B = 4
+    px = jnp.asarray(rng.standard_normal((B, 32, 32, 3)), jnp.float32)
+    ids = np.zeros((B, cfg.text.context_length), np.int32)
+    ids[:, 0] = 1
+    ids[:, 1] = cfg.text.eot
+    ids = jnp.asarray(ids)
+
+    # 2 steps, save, 2 more steps -> reference trajectory
+    for _ in range(2):
+        state, _ = step_fn(state, px, ids)
+    path = str(tmp_path / "ck.npz")
+    save_train_state(path, state, cfg)
+    ref = state
+    for _ in range(2):
+        ref, _ = step_fn(ref, px, ids)
+
+    # resume from disk, 2 steps -> must match exactly
+    resumed, cfg2 = load_train_state(path, opt)
+    assert int(resumed.step) == 2
+    for _ in range(2):
+        resumed, _ = step_fn(resumed, px, ids)
+    for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
