@@ -119,7 +119,7 @@ def encode_image(
     x = jnp.concatenate([cls, x], axis=1)
     x = x + p["pos_embed"].astype(dtype)
     x = layer_norm(x, p["ln_pre"], cfg.ln_eps)
-    x = transformer(x, p["blocks"], v.heads, mask=None, eps=cfg.ln_eps, remat=remat)
+    x = transformer(x, p["blocks"], v.heads, causal=False, eps=cfg.ln_eps, remat=remat)
     x = layer_norm(x[:, 0], p["ln_post"], cfg.ln_eps)
     out = jnp.dot(
         x, p["proj"]["kernel"].astype(dtype), preferred_element_type=jnp.float32
@@ -144,8 +144,7 @@ def encode_text(
     x = p["token_embed"].astype(dtype)[ids]
     x = x + p["pos_embed"].astype(dtype)
     x = transformer(
-        x, p["blocks"], t.heads, mask=causal_mask(ids.shape[1]), eps=cfg.ln_eps,
-        remat=remat,
+        x, p["blocks"], t.heads, causal=True, eps=cfg.ln_eps, remat=remat
     )
     x = layer_norm(x, p["ln_final"], cfg.ln_eps)
     eot_pos = jnp.argmax((ids == t.eot).astype(jnp.int32), axis=-1)

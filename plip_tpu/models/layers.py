@@ -53,29 +53,20 @@ def attention(
     x: jnp.ndarray,
     p: Params,
     heads: int,
-    mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Multi-head self-attention with fused QKV.
 
     x: [B, S, W]; p: {qkv: {kernel [W, 3W], bias}, out: {kernel [W, W], bias}}
-    mask: optional additive mask [S, S] (fp32, -inf above diagonal for causal).
-    """
-    B, S, W = x.shape
-    head_dim = W // heads
-    qkv = linear(x, p["qkv"])  # [B, S, 3W]
-    qkv = qkv.reshape(B, S, 3, heads, head_dim)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, S, H, D]
 
-    scale = head_dim ** -0.5
-    # fp32 logits + softmax island for numerical fidelity in bf16 mode.
-    logits = jnp.einsum(
-        "bshd,bthd->bhst", q * scale, k, preferred_element_type=jnp.float32
-    )
-    if mask is not None:
-        logits = logits + mask.astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhst,bthd->bshd", probs, v, preferred_element_type=jnp.float32)
-    ctx = ctx.astype(x.dtype).reshape(B, S, W)
+    The attention core runs as a fused Pallas kernel on TPU (logits stay in
+    VMEM; see ops/attention.py) and as the equivalent jnp formulation
+    elsewhere — fp32 logits + softmax island in both.
+    """
+    from ..ops.attention import fused_attention
+
+    qkv = linear(x, p["qkv"])  # [B, S, 3W]
+    ctx = fused_attention(qkv, heads, causal)
     return linear(ctx, p["out"])
 
 
@@ -94,12 +85,12 @@ def block(
     x: jnp.ndarray,
     p: Params,
     heads: int,
-    mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
     eps: float = 1e-5,
     act: str = "quick_gelu",
 ) -> jnp.ndarray:
     """Pre-LN transformer block (residual → attn, residual → MLP)."""
-    x = x + attention(layer_norm(x, p["ln1"], eps), p["attn"], heads, mask)
+    x = x + attention(layer_norm(x, p["ln1"], eps), p["attn"], heads, causal)
     x = x + mlp(layer_norm(x, p["ln2"], eps), p["mlp"], act)
     return x
 
@@ -108,7 +99,7 @@ def transformer(
     x: jnp.ndarray,
     stacked: Params,
     heads: int,
-    mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
     eps: float = 1e-5,
     remat: bool = False,
     act: str = "quick_gelu",
@@ -116,7 +107,7 @@ def transformer(
     """Run a stack of blocks whose params have a leading layer axis, via scan."""
 
     def body(h, layer_params):
-        return block(h, layer_params, heads, mask, eps, act), None
+        return block(h, layer_params, heads, causal, eps, act), None
 
     if remat:
         body = jax.checkpoint(body)

@@ -56,7 +56,7 @@ def forward(
     cls = jnp.broadcast_to(params["class_token"].astype(dtype), (x.shape[0], 1, cfg.width))
     x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"].astype(dtype)
     x = transformer(
-        x, params["blocks"], cfg.heads, mask=None, eps=LN_EPS, remat=remat, act="gelu"
+        x, params["blocks"], cfg.heads, causal=False, eps=LN_EPS, remat=remat, act="gelu"
     )
     x = layer_norm(x[:, 0], params["ln_final"], LN_EPS)
     logits = x @ params["head"]["kernel"] + params["head"]["bias"]

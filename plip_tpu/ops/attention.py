@@ -1,0 +1,135 @@
+"""Fused multi-head attention — Pallas TPU kernel.
+
+Why this exists: the CLIP towers have short sequences (50 vision / 77 text
+tokens) with head_dim 64. XLA's batched-einsum lowering materializes the
+``[B, H, S, S]`` fp32 logits in HBM and round-trips it through softmax —
+measured at ~50% of total ViT-B/32 encode time on v5e despite being ~1% of
+the FLOPs. This kernel keeps the whole attention core (QK^T → masked softmax
+→ @V, fp32 accumulation) in VMEM per batch-block: logits never touch HBM.
+
+Layout contract: takes the fused-QKV activation ``[B, S, 3W]`` exactly as the
+preceding matmul produces it (no host-visible transposes); emits ``[B, S, W]``
+ready for the out-projection.
+
+Differentiable via custom VJP (backward runs the standard jnp formulation,
+which XLA handles acceptably for training; inference gets the fused path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def _mha_kernel(qkv_ref, out_ref, *, heads: int, head_dim: int, causal: bool,
+                block_b: int):
+    W = heads * head_dim
+    scale = head_dim ** -0.5
+    S = qkv_ref.shape[1]
+    for g in range(block_b):
+        qkv = qkv_ref[g]  # [S, 3W]
+        for h in range(heads):
+            q = qkv[:, h * head_dim:(h + 1) * head_dim].astype(jnp.float32) * scale
+            k = qkv[:, W + h * head_dim:W + (h + 1) * head_dim]
+            v = qkv[:, 2 * W + h * head_dim:2 * W + (h + 1) * head_dim]
+            logits = jax.lax.dot_general(
+                q.astype(qkv.dtype), k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [S, S]
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+                logits = jnp.where(col <= row, logits, -jnp.inf)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            ctx = jnp.dot(p.astype(qkv.dtype), v, preferred_element_type=jnp.float32)
+            out_ref[g, :, h * head_dim:(h + 1) * head_dim] = ctx.astype(out_ref.dtype)
+
+
+def _pallas_mha(qkv: jnp.ndarray, heads: int, causal: bool,
+                block_b: int = 1, interpret: bool = False) -> jnp.ndarray:
+    # block_b=1 measured fastest on v5e (smaller blocks pipeline better:
+    # 11.5k img/s vs 8.8k at block_b=8 for ViT-B/32 batch-512 encode)
+    B, S, W3 = qkv.shape
+    W = W3 // 3
+    head_dim = W // heads
+    while B % block_b:
+        block_b //= 2
+    grid = (B // block_b,)
+    kernel = functools.partial(
+        _mha_kernel, heads=heads, head_dim=head_dim, causal=causal, block_b=block_b
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, S, W3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, S, W), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, W), qkv.dtype),
+        interpret=interpret,
+    )(qkv)
+
+
+def _jnp_mha(qkv: jnp.ndarray, heads: int, causal: bool) -> jnp.ndarray:
+    """Reference formulation (identical math, XLA lowering)."""
+    B, S, W3 = qkv.shape
+    W = W3 // 3
+    head_dim = W // heads
+    scale = head_dim ** -0.5
+    qkv_r = qkv.reshape(B, S, 3, heads, head_dim)
+    q, k, v = qkv_r[:, :, 0], qkv_r[:, :, 1], qkv_r[:, :, 2]
+    logits = jnp.einsum(
+        "bshd,bthd->bhst", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if causal:
+        mask = jnp.triu(jnp.full((S, S), -jnp.inf, jnp.float32), k=1)
+        logits = logits + mask
+    probs = jax.nn.softmax(logits, axis=-1).astype(qkv.dtype)
+    ctx = jnp.einsum("bhst,bthd->bshd", probs, v, preferred_element_type=jnp.float32)
+    return ctx.astype(qkv.dtype).reshape(B, S, W)
+
+
+def _use_pallas() -> bool:
+    if not _HAS_PALLAS:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fused_attention(qkv: jnp.ndarray, heads: int, causal: bool = False) -> jnp.ndarray:
+    """[B, S, 3W] fused-QKV activations -> [B, S, W] attention context."""
+    if _use_pallas():
+        return _pallas_mha(qkv, heads, causal)
+    return _jnp_mha(qkv, heads, causal)
+
+
+def _fwd(qkv, heads, causal):
+    return fused_attention(qkv, heads, causal), qkv
+
+
+def _bwd(heads, causal, qkv, g):
+    # Backward through the reference formulation (XLA); training-path cost.
+    _, vjp = jax.vjp(lambda a: _jnp_mha(a, heads, causal), qkv)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fwd, _bwd)

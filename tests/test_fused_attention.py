@@ -1,0 +1,74 @@
+"""Fused attention: Pallas-kernel (interpret mode) parity vs jnp reference,
+gradient correctness, and causal masking."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from plip_tpu.ops.attention import _jnp_mha, _pallas_mha, fused_attention
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("shape", [(4, 50, 12, 64), (2, 77, 8, 64), (3, 16, 4, 8)])
+def test_pallas_interpret_matches_jnp(shape, causal):
+    B, S, H, D = shape
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.standard_normal((B, S, 3 * H * D)).astype(np.float32))
+    ref = _jnp_mha(qkv, H, causal)
+    out = _pallas_mha(qkv, H, causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_interpret_bf16(monkeypatch):
+    rng = np.random.default_rng(1)
+    qkv = jnp.asarray(rng.standard_normal((2, 50, 3 * 12 * 64)), jnp.bfloat16)
+    ref = _jnp_mha(qkv, 12, False)
+    out = _pallas_mha(qkv, 12, False, interpret=True)
+    a = np.asarray(ref, np.float32)
+    b = np.asarray(out, np.float32)
+    cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+    assert cos.min() > 0.9999
+
+
+def test_causal_mask_enforced():
+    """Changing a future token must not affect earlier positions."""
+    rng = np.random.default_rng(2)
+    qkv = rng.standard_normal((1, 8, 3 * 4 * 8)).astype(np.float32)
+    out1 = np.asarray(fused_attention(jnp.asarray(qkv), 4, True))
+    qkv2 = qkv.copy()
+    qkv2[0, -1] += 10.0  # perturb the last token only
+    out2 = np.asarray(fused_attention(jnp.asarray(qkv2), 4, True))
+    np.testing.assert_allclose(out1[0, :-1], out2[0, :-1], atol=1e-5)
+    assert not np.allclose(out1[0, -1], out2[0, -1])
+
+
+def test_gradient_matches_reference():
+    rng = np.random.default_rng(3)
+    qkv = jnp.asarray(rng.standard_normal((2, 10, 3 * 4 * 8)).astype(np.float32))
+
+    def loss_fused(a):
+        return jnp.sum(fused_attention(a, 4, True) ** 2)
+
+    def loss_ref(a):
+        return jnp.sum(_jnp_mha(a, 4, True) ** 2)
+
+    g1 = jax.grad(loss_fused)(qkv)
+    g2 = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+def test_towers_still_match_hf():
+    """The attention refactor must not change tower numerics (CPU path)."""
+    # covered comprehensively by test_model_parity.py; quick smoke here that
+    # encode_image still runs after the API change
+    from plip_tpu.models import clip as jclip
+    from plip_tpu.models.config import CLIPConfig
+
+    cfg = CLIPConfig.tiny()
+    params = jclip.init_params(jax.random.PRNGKey(0), cfg)
+    px = jnp.zeros((2, cfg.vision.image_size, cfg.vision.image_size, 3))
+    ids = jnp.zeros((2, cfg.text.context_length), jnp.int32).at[:, 1].set(cfg.text.eot)
+    assert jclip.encode_image(params, px, cfg).shape == (2, cfg.embed_dim)
+    assert jclip.encode_text(params, ids, cfg).shape == (2, cfg.embed_dim)
