@@ -1,5 +1,10 @@
 """Perf experiments on the real chip: encode-path variants."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

@@ -99,6 +99,59 @@ int ptn_decode_file(const char* path, uint8_t* out, long cap, int* out_w,
   return 0;
 }
 
+// Decode into a growable vector sized exactly from the JPEG header (avoids
+// the cost of zero-initializing a large fixed scratch per call).
+static int decode_into_vector(const char* path, std::vector<uint8_t>& buf,
+                              int* out_w, int* out_h, int scale_shorter) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  jpeg_decompress_struct cinfo;
+  ptn_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = ptn_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  if (scale_shorter > 0) {
+    int shorter = cinfo.image_width < cinfo.image_height ? cinfo.image_width
+                                                         : cinfo.image_height;
+    int num = 8;
+    for (int m = 1; m <= 8; ++m) {
+      if ((long)shorter * m / 8 >= scale_shorter) {
+        num = m;
+        break;
+      }
+    }
+    cinfo.scale_num = num;
+    cinfo.scale_denom = 8;
+  }
+  jpeg_start_decompress(&cinfo);
+  const int w = cinfo.output_width, h = cinfo.output_height;
+  if (cinfo.output_components != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -3;
+  }
+  if ((long)buf.size() < (long)w * h * 3) buf.resize((long)w * h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = buf.data() + (long)cinfo.output_scanline * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  *out_w = w;
+  *out_h = h;
+  return 0;
+}
+
 // Bilinear shortest-side resize to `shorter` + center crop `crop` x `crop`.
 static void resize_center_crop(const uint8_t* src, int sw, int sh,
                                uint8_t* dst, int shorter, int crop) {
@@ -148,24 +201,20 @@ int ptn_decode_batch_fixed(const char** paths, int n, int shorter, int crop,
   const long slot = (long)crop * crop * 3;
 
   auto worker = [&]() {
-    // scratch for the largest DCT-scaled decode we expect; grows on demand
+    // scratch sized from each JPEG header; grows monotonically per worker
     std::vector<uint8_t> scratch;
     int i;
     while ((i = next.fetch_add(1)) < n) {
       int w = 0, h = 0;
-      long need = 1L << 26;  // 64 MB default scratch cap
-      if ((long)scratch.size() < need) scratch.resize(need);
-      int rc = ptn_decode_file(paths[i], scratch.data(), (long)scratch.size(),
-                               &w, &h, shorter);
-      if (rc == -3) {  // image larger than scratch: retry with a bigger one
-        scratch.resize(1L << 28);
-        rc = ptn_decode_file(paths[i], scratch.data(), (long)scratch.size(),
-                             &w, &h, shorter);
-      }
+      int rc = decode_into_vector(paths[i], scratch, &w, &h, shorter);
       status[i] = rc;
       uint8_t* dst = out + (long)i * slot;
       if (rc == 0) {
-        resize_center_crop(scratch.data(), w, h, dst, shorter, crop);
+        if (w == crop && h == crop) {
+          memcpy(dst, scratch.data(), slot);  // already target-sized tile
+        } else {
+          resize_center_crop(scratch.data(), w, h, dst, shorter, crop);
+        }
       } else {
         memset(dst, 0, slot);
       }
