@@ -1,0 +1,57 @@
+"""Multi-host initialization — the distributed backend the reference lacks
+(SURVEY.md §2.3: scale-out there = independent SLURM jobs + bash loops).
+
+One call per host before any device use:
+
+    from plip_tpu.parallel import distributed
+    distributed.initialize()          # env-driven (TPU pods auto-detect)
+    mesh = create_mesh(dp=..., tp=...)  # global mesh over all hosts' devices
+
+On TPU pods ``jax.distributed.initialize()`` self-configures from the
+metadata server; elsewhere pass coordinator_address/num_processes/process_id
+explicitly. Collectives ride ICI within a slice and DCN across slices purely
+from sharding annotations — no NCCL/MPI-style code anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Idempotent jax.distributed.initialize. Returns True if multi-process.
+
+    Safe to call in single-process runs (no-ops when there is nothing to
+    coordinate and no env configuration is present).
+    """
+    try:
+        if jax.process_count() > 1:
+            return True
+    except Exception:
+        pass
+    kwargs = {}
+    if coordinator_address:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    try:
+        jax.distributed.initialize(**kwargs)
+        return jax.process_count() > 1
+    except (RuntimeError, ValueError):
+        # single-process / already initialized / no coordination env
+        return False
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """This process's slice of a globally-ordered batch (per-host sharding)."""
+    per = global_batch // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)
