@@ -22,9 +22,61 @@ import jax.numpy as jnp
 BASELINE_IMG_PER_SEC = 5000.0
 
 
+def latency_mode():
+    """p50 zero-shot classification latency (BASELINE.json tracked metric):
+    one 224x224 image vs 4 label prompts, full device path (preprocess +
+    both towers + similarity), single-request latency."""
+    import jax.numpy as jnp
+
+    from plip_tpu.models import clip as jclip
+    from plip_tpu.models.config import CLIPConfig
+    from plip_tpu.ops.preprocess import preprocess_batch
+    from plip_tpu.tokenizer import default_tokenizer
+
+    cfg = CLIPConfig.vit_b32()
+    params = jclip.init_params(jax.random.PRNGKey(0), cfg)
+    tok = default_tokenizer()
+    ids = jnp.asarray(tok.tokenize([f"an H&E image of class {i}" for i in range(4)]))
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.integers(0, 256, (1, 256, 256, 3), dtype=np.uint8))
+
+    @jax.jit
+    def zero_shot(params, raw, ids):
+        from plip_tpu.ops.resize import resize_crop_matrices
+
+        R, C = resize_crop_matrices(256, 256, 224, 224)
+        px = preprocess_batch(raw)
+        img = jclip.l2_normalize(jclip.encode_image(params, px, cfg, jnp.bfloat16))
+        txt = jclip.l2_normalize(jclip.encode_text(params, ids, cfg, jnp.bfloat16))
+        return jnp.argmax(img @ txt.T, -1)[0]
+
+    int(zero_shot(params, raw, ids))  # compile
+    lats = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        int(zero_shot(params, raw, ids))  # scalar fetch = sync on axon
+        lats.append(time.perf_counter() - t0)
+    lats.sort()
+    p50 = lats[len(lats) // 2] * 1000
+    print(
+        json.dumps(
+            {
+                "metric": "p50_zero_shot_classification_latency",
+                "value": round(p50, 2),
+                "unit": "ms",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def main():
     from plip_tpu.models import clip as jclip
     from plip_tpu.models.config import CLIPConfig
+
+    if "--mode" in sys.argv and sys.argv[sys.argv.index("--mode") + 1] == "latency":
+        latency_mode()
+        return
 
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 512
     iters = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else 30

@@ -119,21 +119,33 @@ class PLIP:
         self,
         images: Sequence,
         batch_size: int = 32,
+        num_workers: int = 8,
     ) -> np.ndarray:
-        """Images (paths / PIL / HWC arrays) -> unnormalized [N, embed_dim]."""
-        opened = []
-        for im in images:
-            if isinstance(im, str):
-                from PIL import Image
+        """Images (paths / PIL / HWC arrays) -> unnormalized [N, embed_dim].
 
-                im = Image.open(im)
-            opened.append(im)
-        pixels = np.asarray(preprocess_images(opened))
+        Paths stream through the threaded decode loader (native libjpeg pool
+        for JPEGs), overlapping host decode with device compute — the
+        reference's version decodes synchronously on the main thread
+        (plip.py:44, no workers).
+        """
+        from .data.datasets import ImageDataset
+        from .data.loader import PrefetchLoader
+
+        ds = ImageDataset(list(images))
+        loader = PrefetchLoader(
+            ds,
+            batch_size=batch_size,
+            num_workers=num_workers,
+            device_put=False,
+            collate=lambda items, bs: list(items),  # preprocess groups shapes
+        )
         outs = []
-        for i in range(0, len(opened), batch_size):
-            chunk = pixels[i : i + batch_size]
-            n = chunk.shape[0]
-            emb = self._encode_images_fn(self.params, jnp.asarray(_pad_to(chunk, batch_size)))
+        for batch, n in loader:
+            pixels = preprocess_images(batch)
+            pad = batch_size - pixels.shape[0]
+            if pad:
+                pixels = jnp.pad(pixels, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            emb = self._encode_images_fn(self.params, pixels)
             outs.append(np.asarray(emb)[:n])
         return np.concatenate(outs, axis=0)
 

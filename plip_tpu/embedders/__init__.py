@@ -1,7 +1,7 @@
 from .abst import AbstractEmbedder
 from .clip_embedder import CLIPEmbedder
 from .factory import EmbedderFactory
-from .mudipath import DenseNetEmbedder, build_densenet
+from .mudipath import DenseNetEmbedder, build_densenet, build_resnet
 
 __all__ = [
     "AbstractEmbedder",
@@ -9,4 +9,5 @@ __all__ = [
     "DenseNetEmbedder",
     "EmbedderFactory",
     "build_densenet",
+    "build_resnet",
 ]

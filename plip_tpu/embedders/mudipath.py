@@ -32,6 +32,26 @@ from ..utils.cacher import (
 from .abst import AbstractEmbedder
 
 
+def build_resnet(
+    weights_path: Optional[str] = None, arch: str = "resnet50", seed: int = 0
+):
+    """(params, arch) — headless ResNet, the NoHeadResNet analog
+    (mudipath.py:49-86): features + global average pool via
+    models.resnet.forward_features."""
+    from ..models import resnet as jres
+
+    if weights_path:
+        import torch
+
+        sd = torch.load(weights_path, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        params = jres.from_torch_state_dict(sd, arch)
+    else:
+        params = jres.init_params(jax.random.PRNGKey(seed), arch)
+    return params, arch
+
+
 def build_densenet(
     weights_path: Optional[str] = None, arch: str = "densenet121", seed: int = 0
 ):
