@@ -77,10 +77,20 @@ def preprocess_batch(
     mean: tuple = CLIP_IMAGE_MEAN,
     std: tuple = CLIP_IMAGE_STD,
     dtype: jnp.dtype = jnp.float32,
+    use_pallas: bool = False,
 ) -> Array:
-    """Uniform-shape batch [B, H, W, 3] (uint8 RGB) -> [B, out, out, 3]."""
+    """Uniform-shape batch [B, H, W, 3] (uint8 RGB) -> [B, out, out, 3].
+
+    ``use_pallas=True`` selects the single-kernel Pallas formulation
+    (ops/preprocess_pallas.py) — measured within ~10% of this XLA path on
+    v5e (369k vs 413k img/s); both are ~35× faster than the encoder.
+    """
     if images.ndim == 3:
         images = images[None]
+    if use_pallas:
+        from .preprocess_pallas import preprocess_batch_pallas
+
+        return preprocess_batch_pallas(images, out_size, mean, std).astype(dtype)
     _, h, w, _ = images.shape
     R, C = resize_crop_matrices(h, w, out_size, out_size)
     return _preprocess_same_shape(
