@@ -64,6 +64,7 @@ class PLIP:
         auth_token: Optional[str] = None,
         dtype=jnp.float32,
         tokenizer=None,
+        mesh=None,
     ):
         del auth_token  # parity-only
         self.model_name = model_name
@@ -71,6 +72,13 @@ class PLIP:
         self.params, self.cfg = self._load_model(model_name)
         self.tokenizer = tokenizer if tokenizer is not None else default_tokenizer()
         self.image_vectors: Optional[np.ndarray] = None
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip inference: params replicated/tp-sharded per the
+            # mesh rules; encode batches are dp-sharded in the encode loops
+            from .parallel.mesh import shard_params
+
+            self.params = shard_params(self.params, mesh)
 
         cfg = self.cfg
 
@@ -131,6 +139,7 @@ class PLIP:
         from .data.datasets import ImageDataset
         from .data.loader import PrefetchLoader
 
+        batch_size = self._effective_batch(batch_size)
         ds = ImageDataset(list(images))
         loader = PrefetchLoader(
             ds,
@@ -145,12 +154,30 @@ class PLIP:
             pad = batch_size - pixels.shape[0]
             if pad:
                 pixels = jnp.pad(pixels, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            pixels = self._maybe_shard(pixels)
             emb = self._encode_images_fn(self.params, pixels)
             outs.append(np.asarray(emb)[:n])
         return np.concatenate(outs, axis=0)
 
+    def _maybe_shard(self, batch):
+        if self.mesh is None:
+            return batch
+        import jax
+
+        from .parallel.mesh import batch_sharding
+
+        return jax.device_put(batch, batch_sharding(self.mesh))
+
+    def _effective_batch(self, batch_size: int) -> int:
+        """Under a mesh, the compiled batch must divide evenly over dp."""
+        if self.mesh is None:
+            return batch_size
+        dp = self.mesh.shape["dp"]
+        return -(-batch_size // dp) * dp
+
     def encode_text(self, text: List[str], batch_size: int = 32) -> np.ndarray:
         """Texts -> unnormalized [N, embed_dim]."""
+        batch_size = self._effective_batch(batch_size)
         ids = self.tokenizer.tokenize(list(text), self.cfg.text.context_length)
         outs = []
         for i in range(0, len(text), batch_size):
@@ -161,7 +188,9 @@ class PLIP:
                 # pad rows must still contain an EOT so pooling is well-defined
                 padded[n:, 0] = self.tokenizer.sot_token
                 padded[n:, 1] = self.tokenizer.eot_token
-            emb = self._encode_text_fn(self.params, jnp.asarray(padded))
+            emb = self._encode_text_fn(
+                self.params, self._maybe_shard(jnp.asarray(padded))
+            )
             outs.append(np.asarray(emb)[:n])
         return np.concatenate(outs, axis=0)
 

@@ -83,17 +83,38 @@ class CaptionDataset:
 
 
 class ImageDataset:
-    """Image-only (internal_datasets.py:33-43)."""
+    """Image-only (internal_datasets.py:33-43).
 
-    def __init__(self, list_of_images: Sequence, preprocessing: Optional[Callable] = None):
+    on_error: "raise" (default) propagates decode failures through the loader;
+    "zero" substitutes a zero tile (order and static shapes preserved) and
+    records the index in ``failed_indices`` — the streaming-bulk analog of the
+    reference's skip-unopenable-at-datagen tolerance (_dataset_loader.py:69-73).
+    """
+
+    def __init__(
+        self,
+        list_of_images: Sequence,
+        preprocessing: Optional[Callable] = None,
+        on_error: str = "raise",
+        zero_shape=(224, 224, 3),
+    ):
         self.images = list(list_of_images)
         self.preprocessing = preprocessing
+        self.on_error = on_error
+        self.zero_shape = zero_shape
+        self.failed_indices: List[int] = []
 
     def __len__(self):
         return len(self.images)
 
     def __getitem__(self, idx):
-        img = load_image_rgb(self.images[idx])
+        try:
+            img = load_image_rgb(self.images[idx])
+        except Exception:
+            if self.on_error != "zero":
+                raise
+            self.failed_indices.append(idx)
+            img = np.zeros(self.zero_shape, np.uint8)
         if self.preprocessing is not None:
             img = self.preprocessing(img)
         return img
