@@ -70,12 +70,63 @@ def latency_mode():
     )
 
 
+def train_mode():
+    """Contrastive train-step throughput (fwd+bwd+AdamW), pairs/sec/chip."""
+    import jax.numpy as jnp
+
+    from plip_tpu.models import clip as jclip
+    from plip_tpu.models.config import CLIPConfig
+    from plip_tpu.train.contrastive import (
+        clip_loss,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    batch = 256
+    iters = 10
+    cfg = CLIPConfig.vit_b32()
+    params = jclip.init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(base_lr=1e-5, warmup=10, total_steps=1000)
+    state = init_train_state(params, opt)
+    step = make_train_step(cfg, opt, dtype=jnp.bfloat16, remat=True)
+
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)).astype(np.float32))
+    ids = np.zeros((batch, 77), np.int32)
+    ids[:, 0] = 49406
+    ids[:, 1:5] = rng.integers(1, 49000, (batch, 4))
+    ids[:, 5] = 49407
+    ids = jnp.asarray(ids)
+
+    state, m = step(state, px, ids)
+    float(m["loss"])  # sync (compile + 1 step)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, px, ids)
+    float(m["loss"])  # metrics depend on the full chain of steps
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "vit_b32_infonce_train_pairs_per_sec_per_chip",
+                "value": round(batch * iters / dt, 1),
+                "unit": "pairs/sec/chip",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def main():
     from plip_tpu.models import clip as jclip
     from plip_tpu.models.config import CLIPConfig
 
     if "--mode" in sys.argv and sys.argv[sys.argv.index("--mode") + 1] == "latency":
         latency_mode()
+        return
+    if "--mode" in sys.argv and sys.argv[sys.argv.index("--mode") + 1] == "train":
+        train_mode()
         return
 
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 512
