@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 import warnings
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,11 +9,9 @@ optional dp-mesh sharding for multi-chip throughput.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
-
-import jax.numpy as jnp
 
 from ..datagen.preprocess_digestpath import background_ratio
 

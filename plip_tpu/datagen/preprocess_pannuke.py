@@ -11,7 +11,7 @@ neoplastic; write pngs + caption CSV
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 
 from .config import CLIPConfig
 from .layers import (
-    _init_linear,
     _init_ln,
     init_block_stack,
     layer_norm,

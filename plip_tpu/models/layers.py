@@ -17,7 +17,7 @@ Design notes (why this is not a torch translation):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,6 @@ which XLA handles acceptably for training; inference gets the fused path).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -13,7 +13,6 @@ README note. OpenPath-style datasets use the train transform (resize-512 →
 
 import argparse
 import os
-import sys
 
 import numpy as np
 

@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data.datasets import ImageCaptionDataset, ImageDataset
+from ..data.datasets import ImageCaptionDataset
 from ..data.loader import PrefetchLoader
 from ..data.transform import TrainTransform
 from ..models import clip as jclip
