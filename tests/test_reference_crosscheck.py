@@ -1,0 +1,175 @@
+"""Behavioral cross-checks running the REFERENCE's own torch-free modules
+(loaded by file path from /root/reference) against our implementations on
+identical inputs. This is execution-level parity evidence — not code reuse:
+the reference modules run as black boxes and their outputs are compared to
+ours.
+
+Only modules with no torch/clip imports are exercised (metrics, linear
+prober, retrieval head, scheduler). The reference zero-shot head cannot be
+called — it hard-exit()s the process (zero_shot.py:21-25), which is exactly
+the bug we fixed.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/reproducibility"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference absent")
+
+
+def _load(name, path, prelude=None):
+    """Load a reference module by path; `prelude` maps module names to stubs
+    for its intra-package imports."""
+    saved = {}
+    if prelude:
+        for k, v in prelude.items():
+            saved[k] = sys.modules.get(k)
+            sys.modules[k] = v
+    try:
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        if prelude:
+            for k, old in saved.items():
+                if old is None:
+                    sys.modules.pop(k, None)
+                else:
+                    sys.modules[k] = old
+
+
+@pytest.fixture(scope="module")
+def ref_metrics():
+    return _load("ref_metrics", f"{REF}/metrics.py")
+
+
+def test_eval_metrics_identical(ref_metrics):
+    from plip_tpu.eval.metrics import eval_metrics
+
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        y_true = rng.integers(0, 2, 100)
+        y_pred = rng.integers(0, 2, 100)
+        proba = rng.random(100)
+        ours = eval_metrics(list(y_true), list(y_pred), y_pred_proba=list(proba))
+        theirs = ref_metrics.eval_metrics(list(y_true), list(y_pred),
+                                          y_pred_proba=list(proba))
+        assert set(ours) == set(theirs)
+        for k in theirs:
+            if isinstance(theirs[k], float) and np.isnan(theirs[k]):
+                assert np.isnan(ours[k]), k
+            else:
+                np.testing.assert_allclose(ours[k], theirs[k], err_msg=k)
+
+
+def test_eval_metrics_multiclass_identical(ref_metrics):
+    from plip_tpu.eval.metrics import eval_metrics
+
+    rng = np.random.default_rng(1)
+    y_true = rng.integers(0, 4, 200)
+    y_pred = rng.integers(0, 4, 200)
+    ours = eval_metrics(y_true, y_pred, average_method="macro")
+    theirs = ref_metrics.eval_metrics(y_true, y_pred, average_method="macro")
+    for k in theirs:
+        if isinstance(theirs[k], float) and np.isnan(theirs[k]):
+            assert np.isnan(ours[k]), k
+        else:
+            np.testing.assert_allclose(ours[k], theirs[k], err_msg=k)
+
+
+def test_retrieval_metrics_identical(ref_metrics):
+    from plip_tpu.eval.metrics import retrieval_metrics
+
+    rng = np.random.default_rng(2)
+    targets = list(rng.integers(0, 300, 40))
+    preds = [list(rng.integers(0, 300, 60)) for _ in range(40)]
+    assert retrieval_metrics(targets, preds) == ref_metrics.retrieval_metrics(
+        targets, preds
+    )
+
+
+def test_linear_prober_identical(ref_metrics):
+    """Run the reference LinearProber class end-to-end; its intra-package
+    metrics import is satisfied by a stub pointing at the REFERENCE metrics,
+    so the whole pipeline is theirs — results must equal ours exactly
+    (same sklearn seeds)."""
+    from plip_tpu.eval.linear_probe import LinearProber
+
+    pkg = types.ModuleType("reproducibility_ref")
+    pkg.metrics = ref_metrics
+    mod = _load(
+        "ref_linear",
+        f"{REF}/evaluation/linear_probing/linear_classifier.py",
+        prelude={
+            "reproducibility": pkg,
+            "reproducibility.metrics": ref_metrics,
+        },
+    )
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((120, 16))
+    y = list(rng.choice(["a", "b", "c"], 120))
+    Xt = rng.standard_normal((60, 16))
+    yt = list(rng.choice(["a", "b", "c"], 60))
+
+    _, (ref_test, ref_train) = mod.LinearProber(alpha=0.01, seed=7).train_and_test(
+        X, y, Xt, yt
+    )
+    _, (our_test, our_train) = LinearProber(alpha=0.01, seed=7).train_and_test(
+        X, y, Xt, yt
+    )
+    for k in ref_test:
+        if isinstance(ref_test[k], float) and isinstance(our_test[k], float) and np.isnan(ref_test[k]):
+            assert np.isnan(our_test[k])
+        else:
+            np.testing.assert_allclose(our_test[k], ref_test[k], err_msg=k) if not isinstance(ref_test[k], str) else None
+    assert our_test["split"] == ref_test["split"] == "test"
+
+
+def test_image_retrieval_identical(ref_metrics):
+    from plip_tpu.eval.retrieval import ImageRetrieval
+
+    pkg = types.ModuleType("reproducibility_ref")
+    pkg.metrics = ref_metrics
+    mod = _load(
+        "ref_retrieval",
+        f"{REF}/evaluation/retrieval/retrieval.py",
+        prelude={
+            "reproducibility": pkg,
+            "reproducibility.metrics": ref_metrics,
+        },
+    )
+    rng = np.random.default_rng(4)
+    img = rng.standard_normal((200, 32))
+    txt = img[rng.permutation(200)[:50]] + 0.1 * rng.standard_normal((50, 32))
+    ref_train, ref_test = mod.ImageRetrieval().retrieval(img, txt)
+    our_train, our_test = ImageRetrieval().retrieval(img, txt)
+    assert our_test["p@10"] == ref_test["p@10"]
+    assert our_test["p@50"] == ref_test["p@50"]
+
+
+def test_scheduler_identical():
+    """Reference cosine_lr mutates a torch-style optimizer; feed it a duck-
+    typed one and compare the LR trajectory with our schedule function."""
+    from plip_tpu.train.scheduler import cosine_lr as ours
+
+    mod = _load("ref_sched", f"{REF}/embedders/scheduler.py")
+
+    class FakeOpt:
+        def __init__(self):
+            self.param_groups = [{"lr": 0.0}]
+
+    opt = FakeOpt()
+    ref_fn = mod.cosine_lr(opt, base_lr=3e-4, warmup_length=10, steps=100)
+    our_fn = ours(3e-4, 10, 100)
+    for step in range(100):
+        ref_lr = ref_fn(step)
+        # ours computes in fp32 (device-friendly), reference in fp64
+        np.testing.assert_allclose(float(our_fn(step)), ref_lr, rtol=1e-5)
+        assert opt.param_groups[0]["lr"] == ref_lr
