@@ -124,10 +124,18 @@ def preprocess_images(
     for idx, arr in enumerate(arrays):
         groups.setdefault(arr.shape[:2], []).append(idx)
 
-    out = [None] * len(arrays)
+    if len(groups) == 1:  # uniform batch — the hot path, zero reassembly
+        return preprocess_batch(np.stack(arrays), out_size, mean, std, dtype)
+
+    # mixed sizes: process per shape-group, then restore input order with one
+    # device gather (never materialize per-row arrays)
+    chunks = []
+    order = []
     for _, idxs in groups.items():
         batch = np.stack([arrays[i] for i in idxs])
-        done = preprocess_batch(batch, out_size, mean, std, dtype)
-        for row, i in enumerate(idxs):
-            out[i] = done[row]
-    return jnp.stack(out)
+        chunks.append(preprocess_batch(batch, out_size, mean, std, dtype))
+        order.extend(idxs)
+    merged = jnp.concatenate(chunks, axis=0)
+    inverse = np.empty(len(order), np.int32)
+    inverse[np.asarray(order)] = np.arange(len(order))
+    return merged[jnp.asarray(inverse)]
