@@ -11,8 +11,10 @@ Layout contract: takes the fused-QKV activation ``[B, S, 3W]`` exactly as the
 preceding matmul produces it (no host-visible transposes); emits ``[B, S, W]``
 ready for the out-projection.
 
-Differentiable via custom VJP (backward runs the standard jnp formulation,
-which XLA handles acceptably for training; inference gets the fused path).
+Differentiable via custom VJP: the backward is a second Pallas kernel that
+recomputes P in VMEM (flash-style) and produces dQKV in the same fused
+layout — so training avoids the XLA logits round-trip in both directions.
+(jnp formulations remain as the off-TPU fallback for both passes.)
 """
 
 from __future__ import annotations
@@ -84,6 +86,94 @@ def _pallas_mha(qkv: jnp.ndarray, heads: int, causal: bool,
     )(qkv)
 
 
+def _mha_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads: int, head_dim: int,
+                    causal: bool, block_b: int):
+    """dQKV for the fused attention. Per (batch row, head): recompute P in
+    fp32, then the standard softmax-attention backward:
+
+        dV = Pᵀ g;  dP = g Vᵀ;  dS = P ∘ (dP − rowsum(dP ∘ P));
+        dQ = dS K · scale;  dK = dSᵀ Q · scale
+
+    Causal masking needs no special handling in the backward: masked P is 0,
+    which zeroes dS there.
+    """
+    W = heads * head_dim
+    scale = head_dim ** -0.5
+    S = qkv_ref.shape[1]
+    for b in range(block_b):
+        qkv = qkv_ref[b]
+        g = g_ref[b]
+        for h in range(heads):
+            sl_q = slice(h * head_dim, (h + 1) * head_dim)
+            sl_k = slice(W + h * head_dim, W + (h + 1) * head_dim)
+            sl_v = slice(2 * W + h * head_dim, 2 * W + (h + 1) * head_dim)
+            q = qkv[:, sl_q]
+            k = qkv[:, sl_k]
+            v = qkv[:, sl_v]
+            gh = g[:, h * head_dim:(h + 1) * head_dim]
+
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+                logits = jnp.where(col <= row, logits, -jnp.inf)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)  # [S, S] fp32
+
+            p_c = p.astype(qkv.dtype)
+            # dV = P^T g
+            dv = jax.lax.dot_general(
+                p_c, gh, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dP = g V^T
+            dp = jax.lax.dot_general(
+                gh, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = (p * (dp - dsum)).astype(qkv.dtype)  # [S, S]
+            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(
+                ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dqkv_ref[b, :, sl_q] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[b, :, sl_k] = dk.astype(dqkv_ref.dtype)
+            dqkv_ref[b, :, sl_v] = dv.astype(dqkv_ref.dtype)
+
+
+def _pallas_mha_bwd(qkv: jnp.ndarray, g: jnp.ndarray, heads: int, causal: bool,
+                    block_b: int = 1, interpret: bool = False) -> jnp.ndarray:
+    B, S, W3 = qkv.shape
+    W = W3 // 3
+    head_dim = W // heads
+    while B % block_b:
+        block_b //= 2
+    kernel = functools.partial(
+        _mha_bwd_kernel, heads=heads, head_dim=head_dim, causal=causal,
+        block_b=block_b,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, S, W3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, S, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, S, W3), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, W3), qkv.dtype),
+        interpret=interpret,
+    )(qkv, g)
+
+
 def _jnp_mha(qkv: jnp.ndarray, heads: int, causal: bool) -> jnp.ndarray:
     """Reference formulation (identical math, XLA lowering)."""
     B, S, W3 = qkv.shape
@@ -125,7 +215,8 @@ def _fwd(qkv, heads, causal):
 
 
 def _bwd(heads, causal, qkv, g):
-    # Backward through the reference formulation (XLA); training-path cost.
+    if _use_pallas():
+        return (_pallas_mha_bwd(qkv, g, heads, causal),)
     _, vjp = jax.vjp(lambda a: _jnp_mha(a, heads, causal), qkv)
     return vjp(g)
 

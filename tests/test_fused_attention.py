@@ -44,6 +44,23 @@ def test_causal_mask_enforced():
     assert not np.allclose(out1[0, -1], out2[0, -1])
 
 
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("shape", [(3, 50, 12, 64), (2, 77, 8, 64), (2, 16, 4, 8)])
+def test_pallas_backward_matches_jnp_vjp(shape, causal):
+    """The hand-written backward kernel (interpret mode) must equal the
+    autodiff gradient of the reference formulation."""
+    from plip_tpu.ops.attention import _pallas_mha_bwd
+
+    B, S, H, D = shape
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.standard_normal((B, S, 3 * H * D)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((B, S, H * D)).astype(np.float32))
+    _, vjp = jax.vjp(lambda a: _jnp_mha(a, H, causal), qkv)
+    (ref,) = vjp(g)
+    out = _pallas_mha_bwd(qkv, g, H, causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
 def test_gradient_matches_reference():
     rng = np.random.default_rng(3)
     qkv = jnp.asarray(rng.standard_normal((2, 10, 3 * 4 * 8)).astype(np.float32))
