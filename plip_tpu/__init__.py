@@ -8,3 +8,16 @@ probing, retrieval, fine-tuning), and mesh-parallel training.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (keep bare `import plip_tpu` light)
+    if name == "PLIP":
+        from .api import PLIP
+
+        return PLIP
+    if name == "CLIPConfig":
+        from .models.config import CLIPConfig
+
+        return CLIPConfig
+    raise AttributeError(f"module 'plip_tpu' has no attribute {name!r}")

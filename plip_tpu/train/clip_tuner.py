@@ -111,7 +111,13 @@ class CLIPTuner:
         evaluation_steps: int = 500,
         num_workers: int = 4,
         start_time: Optional[str] = None,
+        resume_from: Optional[str] = None,
+        save_full_state: bool = False,
     ) -> str:
+        """Train loop. ``resume_from`` restarts bit-exactly from a checkpoint
+        written with ``save_full_state=True`` (params + optimizer + step —
+        capability the reference lacks; its torch.save keeps weights only,
+        training_model/clip.py:221-222)."""
         start_time = start_time or str(datetime.now())
         cfg = self.cfg
 
@@ -126,12 +132,23 @@ class CLIPTuner:
             total_steps=total_steps,
             weight_decay=self.hyper_params["weight_decay"],
         )
-        params = self.params
-        if self.mesh is not None:
-            from ..parallel.mesh import shard_params
+        if resume_from:
+            from .contrastive import load_train_state
 
-            params = shard_params(params, self.mesh)
-        self.state = init_train_state(params, opt)
+            self.state, _ = load_train_state(resume_from, opt)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_params
+
+                self.state = self.state._replace(
+                    params=shard_params(self.state.params, self.mesh)
+                )
+        else:
+            params = self.params
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_params
+
+                params = shard_params(params, self.mesh)
+            self.state = init_train_state(params, opt)
         step_fn = make_train_step(cfg, opt, dtype=self.dtype)
         self._eval_loss = jax.jit(
             lambda p, px, ids: clip_loss(p, px, ids, cfg, self.dtype)
@@ -183,11 +200,13 @@ class CLIPTuner:
             self.logging.info(
                 f"[Validation - final] epoch: {epoch}, total loss: {vloss}"
             )
-            save_checkpoint(
-                f"{save_directory}/epoch_{epoch}_{start_time}_model.npz",
-                jax.device_get(self.state.params),
-                cfg,
-            )
+            ckpt_path = f"{save_directory}/epoch_{epoch}_{start_time}_model.npz"
+            if save_full_state:
+                from .contrastive import save_train_state
+
+                save_train_state(ckpt_path, self.state, cfg)
+            else:
+                save_checkpoint(ckpt_path, jax.device_get(self.state.params), cfg)
 
         self.params = self.state.params
         return f"_{start_time}_model.npz"

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import re
 from typing import Any, Dict, Tuple
 
@@ -276,6 +277,8 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Params:
 
 
 def save_checkpoint(path: str, params: Params, cfg: CLIPConfig) -> None:
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     flat = _flatten(jax.tree.map(lambda x: np.asarray(x), params))
     cfg_json = json.dumps(
         {
