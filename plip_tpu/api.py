@@ -139,6 +139,8 @@ class PLIP:
         from .data.datasets import ImageDataset
         from .data.loader import PrefetchLoader
 
+        if len(images) == 0:
+            return np.zeros((0, self.cfg.embed_dim), np.float32)
         batch_size = self._effective_batch(batch_size)
         ds = ImageDataset(list(images))
         loader = PrefetchLoader(
@@ -177,6 +179,8 @@ class PLIP:
 
     def encode_text(self, text: List[str], batch_size: int = 32) -> np.ndarray:
         """Texts -> unnormalized [N, embed_dim]."""
+        if len(text) == 0:
+            return np.zeros((0, self.cfg.embed_dim), np.float32)
         batch_size = self._effective_batch(batch_size)
         ids = self.tokenizer.tokenize(list(text), self.cfg.text.context_length)
         outs = []

@@ -105,3 +105,8 @@ def test_random_arch_fallback():
 def test_missing_checkpoint_warns():
     with pytest.warns(UserWarning, match="no network access"):
         PLIP("vinid/plip")
+
+
+def test_empty_inputs(model):
+    assert model.encode_images([], batch_size=4).shape == (0, 24)
+    assert model.encode_text([], batch_size=4).shape == (0, 24)
