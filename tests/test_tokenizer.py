@@ -132,3 +132,25 @@ def test_determinism():
     b = synthetic_vocab()
     assert a.encoder == b.encoder
     assert a.bpe_ranks == b.bpe_ranks
+
+
+def test_fuzz_matches_hf(tokenizer, tmp_path):
+    """Randomized ASCII/latin fuzzing against HF CLIPTokenizer on shared
+    vocab (CJK/html excluded per the documented ftfy-path difference)."""
+    transformers = pytest.importorskip("transformers")
+    import random
+
+    vocab_path, merges_path = save_hf_format(tokenizer, tmp_path)
+    hf = transformers.CLIPTokenizer(vocab_path, merges_path)
+    rng = random.Random(0)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " .,;:!?()[]{}'\"-_/\\@#$%^*+=<>|~`\t\n éàüñç"
+    )
+    for _ in range(200):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        if "&" in s:  # html-unescape path differs without ftfy
+            continue
+        ours = tokenizer.encode(s)
+        theirs = hf(s, add_special_tokens=False)["input_ids"]
+        assert ours == theirs, repr(s)
