@@ -63,6 +63,16 @@ class PrefetchLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that aborts if the consumer went away."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
@@ -79,10 +89,11 @@ class PrefetchLoader:
                                 else x,
                                 batch,
                             )
-                        out_q.put((batch, len(idxs)))
-                out_q.put(None)
+                        if not put_or_stop((batch, len(idxs))):
+                            return
+                put_or_stop(None)
             except BaseException as e:  # surface worker errors to the consumer
-                out_q.put(e)
+                put_or_stop(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -228,3 +228,26 @@ def test_train_transform_static_shape():
     assert out.shape == (64, 64, 3)
     out2 = t(np.zeros((50, 40, 3), np.uint8))
     assert out2.shape == (64, 64, 3)
+
+
+def test_prefetch_loader_early_break_no_leak():
+    """Breaking out of iteration must unblock and stop the producer thread."""
+    import threading
+    import time as _time
+
+    from plip_tpu.data.loader import PrefetchLoader
+
+    class DS:
+        def __len__(self):
+            return 100
+
+        def __getitem__(self, i):
+            return np.zeros((8, 8), np.float32)
+
+    before = threading.active_count()
+    loader = PrefetchLoader(DS(), batch_size=2, prefetch=1, device_put=False)
+    for i, _ in enumerate(loader):
+        if i == 1:
+            break
+    _time.sleep(1.5)  # producer should notice stop and exit
+    assert threading.active_count() <= before + 1
