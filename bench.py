@@ -129,8 +129,13 @@ def main():
         train_mode()
         return
 
-    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 512
-    iters = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else 30
+    on_cpu = jax.default_backend() == "cpu"
+    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else (
+        16 if on_cpu else 512
+    )
+    iters = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else (
+        2 if on_cpu else 30
+    )
 
     cfg = CLIPConfig.vit_b32()
     params = jclip.init_params(jax.random.PRNGKey(0), cfg)
