@@ -42,7 +42,6 @@ def extract_embedding(args, dataset_name, df):
 
     from ..api import PLIP
     from ..data.transform import TrainTransform
-    from ..ops.preprocess import preprocess_images
 
     np.random.seed(args.random_seed)
 

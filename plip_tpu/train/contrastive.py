@@ -98,7 +98,7 @@ def save_train_state(path: str, state: TrainState, cfg: CLIPConfig) -> None:
     state_dict only, no optimizer/step)."""
     import numpy as np
 
-    from ..utils.checkpoint import _flatten, save_checkpoint
+    from ..utils.checkpoint import save_checkpoint
 
     save_checkpoint(path, jax.device_get(state.params), cfg)
     flat_opt, treedef = jax.tree.flatten(jax.device_get(state.opt_state))
