@@ -130,3 +130,32 @@ def test_inference_dp_sharded(setup):
 def test_bad_mesh_shape():
     with pytest.raises(ValueError):
         create_mesh(dp=3, tp=3)
+
+
+def test_full_size_vit_b32_sharded_compiles():
+    """AOT-compile the FULL ViT-B/32 train step over dp=4xtp=2 (compile only;
+    execution at this size belongs on real chips)."""
+    import optax
+
+    from plip_tpu.parallel.mesh import batch_sharding
+    from plip_tpu.train.contrastive import clip_loss
+
+    cfg = CLIPConfig.vit_b32()
+    mesh = create_mesh(dp=4, tp=2)
+    params = shard_params(jclip.init_params(jax.random.PRNGKey(0), cfg), mesh)
+    opt = make_optimizer(1e-5, 10, 100)
+    state = init_train_state(params, opt)
+
+    def step_fn(state, pixels, ids):
+        (_, metrics), grads = jax.value_and_grad(clip_loss, has_aux=True)(
+            state.params, pixels, ids, cfg, jnp.bfloat16, True
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        p = optax.apply_updates(state.params, updates)
+        return state._replace(params=p, opt_state=opt_state), metrics
+
+    B = 8
+    px = jax.device_put(jnp.zeros((B, 224, 224, 3), jnp.float32), batch_sharding(mesh))
+    ids = jax.device_put(jnp.full((B, 77), 49407, jnp.int32), batch_sharding(mesh))
+    compiled = jax.jit(step_fn).lower(state, px, ids).compile()
+    assert compiled.memory_analysis() is not None
