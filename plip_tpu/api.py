@@ -119,6 +119,13 @@ class PLIP:
         cfg = CLIPConfig.vit_b32()
         return jclip.init_params(jax.random.PRNGKey(0), cfg), cfg
 
+    def save(self, path: str) -> str:
+        """Write the model to the native ``.npz`` checkpoint format."""
+        from .utils.checkpoint import save_checkpoint
+
+        save_checkpoint(path, jax.device_get(self.params), self.cfg)
+        return path
+
     # ------------------------------------------------------------------
     # Encoding
     # ------------------------------------------------------------------

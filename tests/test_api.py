@@ -110,3 +110,11 @@ def test_missing_checkpoint_warns():
 def test_empty_inputs(model):
     assert model.encode_images([], batch_size=4).shape == (0, 24)
     assert model.encode_text([], batch_size=4).shape == (0, 24)
+
+
+def test_save_roundtrip(model, tmp_path):
+    p = model.save(str(tmp_path / "saved.npz"))
+    reloaded = PLIP(p)
+    a = model.encode_text(["benign"], batch_size=1)
+    b = reloaded.encode_text(["benign"], batch_size=1)
+    np.testing.assert_array_equal(a, b)
