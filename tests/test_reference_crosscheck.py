@@ -174,3 +174,28 @@ def test_scheduler_identical():
         # error grows as lr -> 0 at the cosine tail, hence the atol
         np.testing.assert_allclose(float(our_fn(step)), ref_lr, rtol=1e-4, atol=1e-9)
         assert opt.param_groups[0]["lr"] == ref_lr
+
+
+def test_cacher_identical(tmp_path, monkeypatch):
+    """The reference's cacher module computes identical cache paths and
+    round-trips the same files as ours (for non-empty, relative backbones —
+    the cases the reference handles; we additionally harden empty/absolute)."""
+    monkeypatch.setenv("PC_CACHE_FOLDER", str(tmp_path))
+    mod = _load("ref_cacher", f"{REF}/utils/cacher.py")
+    from plip_tpu.utils import cacher as ours
+
+    assert ours.get_cache_name("pliptxt", "model.pt") == mod.get_cache_name(
+        "pliptxt", "model.pt"
+    )
+    arr = np.arange(6, dtype=np.float32)
+    mod.cache_numpy_object(arr, "pliptxt", "model.pt")
+    hit = ours.cache_hit_or_miss("pliptxt", "model.pt")
+    np.testing.assert_array_equal(hit, arr)
+
+    # human-readable layout parity (plip basenames the backbone)
+    p_ref = mod.get_savepath("plipimgkather_test.csv", "weights/bb.pt")
+    p_our = ours.get_savepath("plipimgkather_test.csv", "weights/bb.pt")
+    assert p_ref == p_our
+    mod.cache_numpy_object_raw_filename(arr, "plipimgkather_test.csv", "weights/bb.pt")
+    hit2 = ours.cache_hit_or_miss_raw_filename("plipimgkather_test.csv", "weights/bb.pt")
+    np.testing.assert_array_equal(hit2, arr)
