@@ -11,8 +11,11 @@ device-resident preprocessed pixels) — the hot loop of
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 

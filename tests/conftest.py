@@ -5,6 +5,10 @@ without TPU pod hardware (SURVEY.md §4).
 """
 
 import os
+import sys
+
+# repo root importable regardless of pytest invocation directory
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Hard-set (not setdefault): the driver environment presets JAX_PLATFORMS=axon
 # (the real-TPU tunnel) and a sitecustomize registers that backend, so the env
