@@ -93,9 +93,23 @@ def block(
     causal: bool = False,
     eps: float = 1e-5,
     act: str = "quick_gelu",
+    fused_sublayer: bool = True,
 ) -> jnp.ndarray:
-    """Pre-LN transformer block (residual → attn, residual → MLP)."""
-    x = x + attention(layer_norm(x, p["ln1"], eps), p["attn"], heads, causal)
+    """Pre-LN transformer block (residual → attn, residual → MLP).
+
+    With ``fused_sublayer`` the whole attention sublayer
+    (LN1+QKV+attention+out-proj+residual) runs as one fused Pallas kernel on
+    TPU (+8% encode; bit-identical). Training paths pass False — the fused
+    sublayer's VJP re-runs the composed forward, which measured slower under
+    remat — and use the composed path whose attention core still has Pallas
+    fwd/bwd kernels. The MLP half stays XLA either way (its fused variant
+    measured slower — see PERF.md)."""
+    if fused_sublayer:
+        from ..ops.attention import attention_sublayer
+
+        x = attention_sublayer(x, p["ln1"], p["attn"], heads, causal, eps)
+    else:
+        x = x + attention(layer_norm(x, p["ln1"], eps), p["attn"], heads, causal)
     x = x + mlp(layer_norm(x, p["ln2"], eps), p["mlp"], act)
     return x
 
@@ -109,10 +123,15 @@ def transformer(
     remat: bool = False,
     act: str = "quick_gelu",
 ) -> jnp.ndarray:
-    """Run a stack of blocks whose params have a leading layer axis, via scan."""
+    """Run a stack of blocks whose params have a leading layer axis, via scan.
+
+    ``remat=True`` marks the training path: blocks use the composed attention
+    sublayer (better backward) and rematerialize; inference uses the fused
+    sublayer kernel."""
 
     def body(h, layer_params):
-        return block(h, layer_params, heads, causal, eps, act), None
+        return block(h, layer_params, heads, causal, eps, act,
+                     fused_sublayer=not remat), None
 
     if remat:
         body = jax.checkpoint(body)

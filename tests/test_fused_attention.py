@@ -89,3 +89,46 @@ def test_towers_still_match_hf():
     ids = jnp.zeros((2, cfg.text.context_length), jnp.int32).at[:, 1].set(cfg.text.eot)
     assert jclip.encode_image(params, px, cfg).shape == (2, cfg.embed_dim)
     assert jclip.encode_text(params, ids, cfg).shape == (2, cfg.embed_dim)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_attention_sublayer_pallas_matches_jnp(causal):
+    from plip_tpu.ops.attention import (
+        _jnp_attn_sublayer,
+        _pallas_attn_sublayer,
+    )
+    from plip_tpu.models.layers import init_block_stack
+
+    rng = np.random.default_rng(11)
+    blk = jax.tree.map(
+        lambda a: a[0], init_block_stack(jax.random.PRNGKey(0), 1, 64)
+    )
+    x = jnp.asarray(rng.standard_normal((3, 10, 64)).astype(np.float32))
+    ref = _jnp_attn_sublayer(x, blk["ln1"], blk["attn"], 4, causal, 1e-5)
+    out = _pallas_attn_sublayer(x, blk["ln1"], blk["attn"], 4, causal, 1e-5,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_attention_sublayer_gradients():
+    from plip_tpu.ops.attention import _jnp_attn_sublayer, attention_sublayer
+    from plip_tpu.models.layers import init_block_stack
+
+    rng = np.random.default_rng(12)
+    blk = jax.tree.map(
+        lambda a: a[0], init_block_stack(jax.random.PRNGKey(1), 1, 32)
+    )
+    x = jnp.asarray(rng.standard_normal((2, 8, 32)).astype(np.float32))
+
+    def loss_sub(x, ln, at):
+        return jnp.sum(attention_sublayer(x, ln, at, 4, True) ** 2)
+
+    def loss_ref(x, ln, at):
+        return jnp.sum(_jnp_attn_sublayer(x, ln, at, 4, True, 1e-5) ** 2)
+
+    g1 = jax.grad(loss_sub, argnums=(0, 1, 2))(x, blk["ln1"], blk["attn"])
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, blk["ln1"], blk["attn"])
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
