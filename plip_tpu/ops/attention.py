@@ -327,8 +327,12 @@ def _jnp_attn_sublayer(x, ln_p, attn_p, heads, causal, eps):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def attention_sublayer(x, ln_p, attn_p, heads: int, causal: bool = False,
                        eps: float = 1e-5):
-    """x + out_proj(attention(qkv_proj(LN(x)))) — one fused kernel on TPU."""
-    if _use_pallas():
+    """x + out_proj(attention(qkv_proj(LN(x)))) — one fused kernel on TPU.
+
+    Gated to S <= 128 (covers the CLIP family's 50/77-token sequences, where
+    it wins +10%); at S=257 (ViT-L/14) the composed path measured faster
+    (792 vs 777 img/s), so longer sequences take that route."""
+    if _use_pallas() and x.shape[1] <= 128:
         return _pallas_attn_sublayer(x, ln_p, attn_p, heads, causal, eps)
     return _jnp_attn_sublayer(x, ln_p, attn_p, heads, causal, eps)
 
