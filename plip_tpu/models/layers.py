@@ -17,6 +17,7 @@ Design notes (why this is not a torch translation):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict
 
 import jax
@@ -77,7 +78,9 @@ def attention(
 
 ACTIVATIONS = {
     "quick_gelu": quick_gelu,
-    "gelu": jax.nn.gelu,  # exact GELU (torchvision ViT)
+    # erf-exact GELU — torch.nn.GELU's default, which the torchvision ViT
+    # towers use; jax.nn.gelu defaults to the tanh approximation.
+    "gelu": functools.partial(jax.nn.gelu, approximate=False),
     "relu": jax.nn.relu,
 }
 

@@ -138,6 +138,23 @@ def forward(params, x, arch="resnet50", training=False):
     return feats, stats
 
 
+def merge_bn_stats(params: Params, stats: Params) -> Params:
+    """Fold the running-stat updates returned by :func:`forward` (training
+    mode) back into the parameter tree — the functional equivalent of torch
+    BN buffers updating in-place under ``model.train()``
+    (`/root/reference/reproducibility/fine_tuning/finetune.py:282-296`)."""
+    if isinstance(stats, list):
+        return [merge_bn_stats(p, s) for p, s in zip(params, stats)]
+    if isinstance(stats, dict):
+        if set(stats.keys()) == {"mean", "var"}:
+            return {**params, "mean": stats["mean"], "var": stats["var"]}
+        out = dict(params)
+        for k, s in stats.items():
+            out[k] = merge_bn_stats(params[k], s)
+        return out
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Init + torchvision state_dict converter
 # ---------------------------------------------------------------------------

@@ -43,6 +43,11 @@ from .bpe import (
 )
 
 CLIP_VOCAB_SIZE = 49408  # 256 bytes ×2 (+</w>) + 48894 merges + SOT/EOT
+# OpenAI's simple_tokenizer slices the merges file as
+# ``merges[1 : 49152 - 256 - 2 + 1]`` → exactly 48894 merge rules (its 49152
+# constant counts the 256 byte tokens once; the vocab table then counts them
+# twice — plain and ``</w>`` — so 512 + 48894 + 2 = 49408 rows).
+OPENAI_MERGE_COUNT = 49152 - 256 - 2  # 48894
 
 # ---------------------------------------------------------------------------
 # Loaders
@@ -68,8 +73,11 @@ def load_openai_bpe(path: str) -> CLIPBPETokenizer:
     with opener(path, "rb") as f:
         lines = f.read().decode("utf-8").split("\n")
     # Line 0 is a version comment; the real file is truncated to exactly
-    # 48894 merges (49152 - 256 - 2), mirroring clip.simple_tokenizer.
-    merge_lines = lines[1 : CLIP_VOCAB_SIZE - 256 - 2 + 1]
+    # 48894 merges, mirroring clip.simple_tokenizer's
+    # ``merges[1 : 49152 - 256 - 2 + 1]``. Slicing with a larger constant
+    # would overflow the 49408-row embedding table and shift the EOT id
+    # (silently wrong text embeddings — JAX clamps out-of-range gathers).
+    merge_lines = lines[1 : OPENAI_MERGE_COUNT + 1]
     merges = [tuple(l.split()) for l in merge_lines if l.strip()]
     return CLIPBPETokenizer(vocab_from_merges(merges), merges)
 

@@ -64,11 +64,14 @@ def make_optimizer(
     warmup: int = 50,
     total_steps: int = 1000,
     weight_decay: float = 0.2,
-    betas: Tuple[float, float] = (0.9, 0.98),
-    eps: float = 1e-6,
+    betas: Tuple[float, float] = (0.9, 0.999),
+    eps: float = 1e-8,
 ) -> optax.GradientTransformation:
-    """AdamW matching the reference defaults (clip.py:107-118) with the exact
-    cosine-warmup schedule."""
+    """AdamW matching the reference defaults with the exact cosine-warmup
+    schedule. The reference constructs ``optim.AdamW(params, lr, weight_decay)``
+    (clip.py:107-110), i.e. torch defaults betas=(0.9, 0.999), eps=1e-8 —
+    matched here. (OpenCLIP's paper values (0.9, 0.98)/1e-6 are NOT what the
+    reference runs; pass them explicitly if wanted.)"""
     return optax.adamw(
         learning_rate=cosine_lr(base_lr, warmup, total_steps),
         b1=betas[0],

@@ -52,6 +52,26 @@ class LinearClassifier:
         return x.astype(jnp.float32) @ p["kernel"] + p["bias"]
 
 
+def _bn_buffer_labels(params):
+    """Label tree: ``'buffer'`` for BN running mean/var, ``'train'`` elsewhere.
+
+    torch registers running stats as *buffers* — ``model.parameters()`` never
+    yields them, so the reference's optimizer (finetune.py:118-139) cannot
+    decay or step them. ``optax.multi_transform`` with these labels gives the
+    same split; buffers advance only via the EMA in ``jres.merge_bn_stats``.
+    """
+
+    def rec(p, is_stat=False):
+        if isinstance(p, dict):
+            bn = {"scale", "bias", "mean", "var"} <= set(p)
+            return {k: rec(v, bn and k in ("mean", "var")) for k, v in p.items()}
+        if isinstance(p, list):
+            return [rec(v) for v in p]
+        return "buffer" if is_stat else "train"
+
+    return rec(params)
+
+
 def _make_optimizer(name: str, lr_schedule, weight_decay: float):
     if name == "AdamW":
         return optax.adamw(lr_schedule, weight_decay=weight_decay)
@@ -139,16 +159,24 @@ class FineTuner:
     # ------------------------------------------------------------------
 
     def _forward(self, params: Params, pixels: jnp.ndarray, training: bool):
-        """Logits for a preprocessed NHWC batch (finetune.py:165-172)."""
+        """(logits, bn_stats|None) for a preprocessed NHWC batch
+        (finetune.py:165-172).
+
+        The reference fine-tunes under ``model.train()``, so torchvision
+        resnets normalize with *batch* statistics and update the running
+        buffers every step (finetune.py:282-296). Matched here: the train
+        step runs BN in training mode and folds the returned running stats
+        back into params (``jres.merge_bn_stats``); eval uses the running
+        stats."""
         if self.model_name in ("plip", "clip"):
             feats = jclip.encode_image(
                 params["backbone"], pixels, self.clip_cfg, dtype=self.dtype
             )
-            return LinearClassifier.apply(params["head"], feats)
+            return LinearClassifier.apply(params["head"], feats), None
         if self.model_name.startswith("resnet"):
-            logits, _ = jres.forward(params, pixels, self.arch, training=False)
-            return logits
-        return jvit.forward(params, pixels, self.model_name, dtype=self.dtype)
+            logits, stats = jres.forward(params, pixels, self.arch, training=training)
+            return logits, (stats if training else None)
+        return jvit.forward(params, pixels, self.model_name, dtype=self.dtype), None
 
     def _preprocess(self, images_u8: np.ndarray) -> jnp.ndarray:
         kw = {}
@@ -207,6 +235,11 @@ class FineTuner:
         opt = _make_optimizer(
             self.optimizer_name, schedule, self.hyper_params["weight_decay"]
         )
+        if self.model_name.startswith("resnet"):
+            opt = optax.multi_transform(
+                {"train": opt, "buffer": optax.set_to_zero()},
+                _bn_buffer_labels(self.params),
+            )
         self.state = _TrainState(self.params, opt.init(self.params), jnp.zeros((), jnp.int32))
 
         forward = self._forward
@@ -214,17 +247,24 @@ class FineTuner:
         @jax.jit
         def train_step(state: _TrainState, pixels, labels, n_valid):
             def loss_fn(params):
-                logits = forward(params, pixels, True)
+                logits, bn_stats = forward(params, pixels, True)
                 per = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
                 mask = (jnp.arange(len(labels)) < n_valid).astype(jnp.float32)
-                return (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+                loss = (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+                return loss, bn_stats
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            (loss, bn_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
             updates, opt_state = opt.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+            if bn_stats is not None:
+                # torch-buffer semantics: running stats update via EMA only —
+                # the optimizer never touches them (masked out above).
+                params = jres.merge_bn_stats(params, bn_stats)
             return _TrainState(params, opt_state, state.step + 1), loss
 
-        self._eval_fn = jax.jit(lambda p, x: forward(p, x, False))
+        self._eval_fn = jax.jit(lambda p, x: forward(p, x, False)[0])
 
         performance_df = pd.DataFrame(
             index=np.arange(epochs), columns=["epoch", "loss", "f1_weighted", "f1_macro"]

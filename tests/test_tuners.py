@@ -147,6 +147,29 @@ def test_finetuner_end_to_end(tiny_ckpt, image_label_df, model_name):
     assert perf["f1_weighted"].dtype == float
 
 
+def test_finetuner_resnet_bn_buffer_semantics(image_label_df):
+    """torch-parity BN: running stats advance via EMA under training (buffer
+    semantics), and the optimizer never touches them (ADVICE r1, medium).
+
+    At lr=0: buffers must still move (model.train() updates them every
+    forward) while learnable affine params must stay put (no gradient step,
+    and buffers masked from weight decay)."""
+    from plip_tpu.train.finetune import FineTuner
+
+    args = SimpleNamespace(model_name="resnet18", optimizer="AdamW")
+    ft = FineTuner(args=args, num_classes=2, lr=0.0)
+    init_mean = np.array(ft.params["bn1"]["mean"])
+    init_scale = np.array(ft.params["bn1"]["scale"])
+    ft.tuner(
+        image_label_df, image_label_df.iloc[:4], batch_size=4, epochs=1,
+        evaluation_steps=0, num_workers=2,
+    )
+    new_mean = np.array(ft.state.params["bn1"]["mean"])
+    new_scale = np.array(ft.state.params["bn1"]["scale"])
+    assert not np.allclose(new_mean, init_mean), "BN running mean never updated"
+    assert np.allclose(new_scale, init_scale), "optimizer touched BN affine at lr=0"
+
+
 def test_finetuner_clip_backbone_guard(tiny_ckpt):
     from plip_tpu.train.finetune import FineTuner
 
