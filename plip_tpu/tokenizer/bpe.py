@@ -27,12 +27,17 @@ from typing import Dict, Iterable, List, Sequence, Tuple, Union
 import numpy as np
 import regex as re
 
-try:  # ftfy is optional; the reference gets it transitively via `clip`.
+try:  # real ftfy wins when installed (the reference gets it via `clip`) …
     import ftfy
 
     _HAS_FTFY = True
-except ImportError:  # pragma: no cover
+except ImportError:
     _HAS_FTFY = False
+
+# … otherwise the vendored deterministic subset keeps the canonical cleaning
+# semantics the checkpoint was trained with (mojibake/width/quotes/NFC) —
+# see textfix.py for the documented divergences.
+from .textfix import fix_text as _fix_text_minimal
 
 # The token-splitting pattern used by both OpenAI CLIP's SimpleTokenizer and
 # HF's CLIPTokenizer (case-insensitive).
@@ -79,8 +84,9 @@ def get_pairs(word: Tuple[str, ...]) -> set:
 
 
 def basic_clean(text: str) -> str:
-    if _HAS_FTFY:
-        text = ftfy.fix_text(text)
+    """ftfy-fix + double HTML unescape + strip — OpenAI clip's basic_clean
+    (the contract at `/root/reference/reproducibility/embedders/plip.py:65`)."""
+    text = ftfy.fix_text(text) if _HAS_FTFY else _fix_text_minimal(text)
     text = html.unescape(html.unescape(text))
     return text.strip()
 

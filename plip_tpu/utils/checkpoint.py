@@ -229,6 +229,105 @@ def from_openai_clip(sd: Dict[str, Any]) -> Tuple[Params, CLIPConfig]:
     return jax.tree.map(jnp.asarray, params), cfg
 
 
+def openai_sd_to_hf_sd(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Re-key an OpenAI ``clip`` state_dict into HF ``CLIPModel`` naming.
+
+    Used by the asset importer to verify OpenAI-named checkpoints
+    (`/root/reference/reproducibility/embedders/factory.py:21-26`) against the
+    one PyTorch reference implementation available offline — HF ``CLIPModel``
+    — by loading the re-keyed dict into it. Fused ``in_proj`` splits into
+    q/k/v rows; the two projection matrices transpose ([W,E] → [E,W])."""
+    sd = {k: _np(v) for k, v in sd.items()}
+    out: Dict[str, np.ndarray] = {"logit_scale": sd["logit_scale"]}
+
+    def blocks(src_prefix: str, dst_prefix: str, n: int):
+        for i in range(n):
+            s, d = f"{src_prefix}.resblocks.{i}", f"{dst_prefix}.encoder.layers.{i}"
+            w, b = sd[f"{s}.attn.in_proj_weight"], sd[f"{s}.attn.in_proj_bias"]
+            width = w.shape[1]
+            for j, name in enumerate(("q", "k", "v")):
+                out[f"{d}.self_attn.{name}_proj.weight"] = w[j * width:(j + 1) * width]
+                out[f"{d}.self_attn.{name}_proj.bias"] = b[j * width:(j + 1) * width]
+            out[f"{d}.self_attn.out_proj.weight"] = sd[f"{s}.attn.out_proj.weight"]
+            out[f"{d}.self_attn.out_proj.bias"] = sd[f"{s}.attn.out_proj.bias"]
+            for src_ln, dst_ln in (("ln_1", "layer_norm1"), ("ln_2", "layer_norm2")):
+                out[f"{d}.{dst_ln}.weight"] = sd[f"{s}.{src_ln}.weight"]
+                out[f"{d}.{dst_ln}.bias"] = sd[f"{s}.{src_ln}.bias"]
+            for src_fc, dst_fc in (("c_fc", "fc1"), ("c_proj", "fc2")):
+                out[f"{d}.mlp.{dst_fc}.weight"] = sd[f"{s}.mlp.{src_fc}.weight"]
+                out[f"{d}.mlp.{dst_fc}.bias"] = sd[f"{s}.mlp.{src_fc}.bias"]
+
+    v_layers = _num_layers(sd, r"visual\.transformer\.resblocks\.(\d+)\.")
+    t_layers = _num_layers(sd, r"transformer\.resblocks\.(\d+)\.")
+    blocks("visual.transformer", "vision_model", v_layers)
+    blocks("transformer", "text_model", t_layers)
+
+    out["vision_model.embeddings.class_embedding"] = sd["visual.class_embedding"]
+    out["vision_model.embeddings.patch_embedding.weight"] = sd["visual.conv1.weight"]
+    out["vision_model.embeddings.position_embedding.weight"] = sd[
+        "visual.positional_embedding"
+    ]
+    out["vision_model.pre_layrnorm.weight"] = sd["visual.ln_pre.weight"]
+    out["vision_model.pre_layrnorm.bias"] = sd["visual.ln_pre.bias"]
+    out["vision_model.post_layernorm.weight"] = sd["visual.ln_post.weight"]
+    out["vision_model.post_layernorm.bias"] = sd["visual.ln_post.bias"]
+    out["visual_projection.weight"] = sd["visual.proj"].T
+    out["text_model.embeddings.token_embedding.weight"] = sd["token_embedding.weight"]
+    out["text_model.embeddings.position_embedding.weight"] = sd["positional_embedding"]
+    out["text_model.final_layer_norm.weight"] = sd["ln_final.weight"]
+    out["text_model.final_layer_norm.bias"] = sd["ln_final.bias"]
+    out["text_projection.weight"] = sd["text_projection"].T
+    return out
+
+
+def hf_sd_to_openai_sd(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`openai_sd_to_hf_sd` — export HF-named weights in the
+    OpenAI ``clip`` state_dict layout the repro harness's torch.save files use
+    (`/root/reference/reproducibility/training_model/clip.py:221-222`)."""
+    sd = {k: _np(v) for k, v in sd.items()}
+    out: Dict[str, np.ndarray] = {"logit_scale": sd["logit_scale"]}
+
+    def blocks(src_prefix: str, dst_prefix: str, n: int):
+        for i in range(n):
+            s, d = f"{src_prefix}.encoder.layers.{i}", f"{dst_prefix}.resblocks.{i}"
+            out[f"{d}.attn.in_proj_weight"] = np.concatenate(
+                [sd[f"{s}.self_attn.{n_}_proj.weight"] for n_ in ("q", "k", "v")], 0
+            )
+            out[f"{d}.attn.in_proj_bias"] = np.concatenate(
+                [sd[f"{s}.self_attn.{n_}_proj.bias"] for n_ in ("q", "k", "v")], 0
+            )
+            out[f"{d}.attn.out_proj.weight"] = sd[f"{s}.self_attn.out_proj.weight"]
+            out[f"{d}.attn.out_proj.bias"] = sd[f"{s}.self_attn.out_proj.bias"]
+            for dst_ln, src_ln in (("ln_1", "layer_norm1"), ("ln_2", "layer_norm2")):
+                out[f"{d}.{dst_ln}.weight"] = sd[f"{s}.{src_ln}.weight"]
+                out[f"{d}.{dst_ln}.bias"] = sd[f"{s}.{src_ln}.bias"]
+            for dst_fc, src_fc in (("c_fc", "fc1"), ("c_proj", "fc2")):
+                out[f"{d}.mlp.{dst_fc}.weight"] = sd[f"{s}.mlp.{src_fc}.weight"]
+                out[f"{d}.mlp.{dst_fc}.bias"] = sd[f"{s}.mlp.{src_fc}.bias"]
+
+    v_layers = _num_layers(sd, r"vision_model\.encoder\.layers\.(\d+)\.")
+    t_layers = _num_layers(sd, r"text_model\.encoder\.layers\.(\d+)\.")
+    blocks("vision_model", "visual.transformer", v_layers)
+    blocks("text_model", "transformer", t_layers)
+
+    out["visual.class_embedding"] = sd["vision_model.embeddings.class_embedding"]
+    out["visual.conv1.weight"] = sd["vision_model.embeddings.patch_embedding.weight"]
+    out["visual.positional_embedding"] = sd[
+        "vision_model.embeddings.position_embedding.weight"
+    ]
+    out["visual.ln_pre.weight"] = sd["vision_model.pre_layrnorm.weight"]
+    out["visual.ln_pre.bias"] = sd["vision_model.pre_layrnorm.bias"]
+    out["visual.ln_post.weight"] = sd["vision_model.post_layernorm.weight"]
+    out["visual.ln_post.bias"] = sd["vision_model.post_layernorm.bias"]
+    out["visual.proj"] = sd["visual_projection.weight"].T
+    out["token_embedding.weight"] = sd["text_model.embeddings.token_embedding.weight"]
+    out["positional_embedding"] = sd["text_model.embeddings.position_embedding.weight"]
+    out["ln_final.weight"] = sd["text_model.final_layer_norm.weight"]
+    out["ln_final.bias"] = sd["text_model.final_layer_norm.bias"]
+    out["text_projection"] = sd["text_projection.weight"].T
+    return out
+
+
 def from_torch_state_dict(sd: Dict[str, Any]) -> Tuple[Params, CLIPConfig]:
     """Auto-detect HF vs OpenAI naming (the two load paths in the reference)."""
     if any(k.startswith("vision_model.") for k in sd):

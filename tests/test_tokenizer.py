@@ -30,11 +30,12 @@ SAMPLES = [
     "a" * 500,  # long input, must truncate
 ]
 
-# NOTE: CJK text and raw HTML entities are deliberately absent from the
-# samples. Without ftfy installed, HF's CLIPTokenizer falls back to a
-# BasicTokenizer path that whitespace-splits CJK chars and skips the double
-# html.unescape; the canonical OpenAI (ftfy) path — which the PLIP checkpoint
-# was trained with and which we implement — splits nothing and unescapes.
+# NOTE: CJK text and raw HTML entities are absent from SAMPLES because those
+# comparisons run against HF *without* ftfy (BasicTokenizer fallback:
+# whitespace-splits CJK, no html.unescape). The canonical OpenAI (ftfy) path —
+# which the PLIP checkpoint was trained with and which we implement via the
+# vendored textfix.fix_text — is covered separately below by forcing HF onto
+# its ftfy code path (monkeypatched fix_text) and fuzzing CJK/HTML/mojibake.
 HTML_SAMPLE = "An H&amp;E image of malignant breast tissue."
 
 
@@ -127,11 +128,95 @@ def test_hf_format_roundtrip(tokenizer, tmp_path):
         assert tokenizer.encode(text) == reloaded.encode(text)
 
 
+def test_openai_merges_slice_matches_simple_tokenizer(tmp_path):
+    """The real ``bpe_simple_vocab_16e6.txt.gz`` holds more merge lines than
+    the tokenizer consumes; OpenAI's simple_tokenizer slices to exactly 48894
+    merges. An over-wide slice silently overflows the 49408-row embedding
+    table and shifts the EOT id (ADVICE r1, high)."""
+    from plip_tpu.tokenizer.vocab import OPENAI_MERGE_COUNT
+
+    lines = ["#version: fake"] + [f"x{i} y{i}" for i in range(49_300)]
+    path = tmp_path / "merges.txt"
+    path.write_text("\n".join(lines))
+    tok = load_openai_bpe(str(path))
+    assert OPENAI_MERGE_COUNT == 48894
+    assert len(tok.bpe_ranks) == OPENAI_MERGE_COUNT
+    assert tok.vocab_size == CLIP_VOCAB_SIZE
+    assert tok.eot_token == CLIP_VOCAB_SIZE - 1
+
+
 def test_determinism():
     a = synthetic_vocab()
     b = synthetic_vocab()
     assert a.encoder == b.encoder
     assert a.bpe_ranks == b.bpe_ranks
+
+
+def test_fuzz_canonical_path_cjk_html_mojibake(tokenizer, tmp_path):
+    """Fuzz the previously-skipped classes (CJK, HTML entities, mojibake,
+    curly quotes, fullwidth forms) against HF CLIPTokenizer forced onto its
+    *ftfy* code path: with ``hf.fix_text`` set, HF runs
+    ``whitespace_clean(fix_text(t)).lower()`` + the shared regex/BPE — exactly
+    our pipeline. Monkeypatching it to our ``basic_clean`` (vendored
+    textfix.fix_text + double html.unescape + strip) therefore checks the
+    whole canonical tokenization end-to-end on these inputs."""
+    transformers = pytest.importorskip("transformers")
+    import random
+
+    from plip_tpu.tokenizer.bpe import basic_clean
+
+    vocab_path, merges_path = save_hf_format(tokenizer, tmp_path)
+    hf = transformers.CLIPTokenizer(vocab_path, merges_path)
+    hf.fix_text = basic_clean
+    rng = random.Random(1)
+    alphabet = "abcdefghij xyz;# 病理組織学的乳腺肺癌腫瘍良性悪性中文字“”‘’ﬁＡＢ１。、，"
+    pieces = ["&amp;", "&lt;", "H&amp;E", "schÃ¶n", "naÃ¯ve", "café", "â€œqâ€\x9d"]
+    for _ in range(300):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        for _ in range(rng.randint(0, 2)):
+            s += " " + rng.choice(pieces)
+        ours = tokenizer.encode(s)
+        theirs = hf(s, add_special_tokens=False)["input_ids"]
+        assert ours == theirs, repr(s)
+
+
+def test_cjk_not_whitespace_split(tokenizer):
+    """Canonical (ftfy-path) semantics: a CJK run is ONE regex token — merges
+    may cross character boundaries and only the final byte takes ``</w>``.
+    (HF without ftfy diverges by design: its BasicTokenizer space-splits every
+    CJK char; the checkpoint was not trained that way.)"""
+    from plip_tpu.tokenizer.bpe import bytes_to_unicode
+
+    text = "病理組織"
+    be = bytes_to_unicode()
+    mapped = "".join(be[b] for b in text.encode("utf-8"))
+    # synthetic vocab trains on ASCII only -> no merges apply to CJK bytes
+    expected = [tokenizer.encoder[t] for t in mapped[:-1]]
+    expected.append(tokenizer.encoder[mapped[-1] + "</w>"])
+    assert tokenizer.encode(text) == expected
+
+
+def test_textfix_golden_equivalences(tokenizer):
+    """Vendored fix_text heals inputs to tokenize identically to clean text."""
+    pairs = [
+        ("An H&amp;E image of schÃ¶n tissue", "An H&E image of schön tissue"),
+        ("donâ€™t", "don't"),
+        ("don’t", "don't"),
+        ("ＡＢＣ １２３", "abc 123"),
+        ("ﬁnal diagnosis", "final diagnosis"),
+        ("café", "café"),  # NFC
+        ("schÃƒÂ¶n", "schön"),  # double-encoded mojibake
+    ]
+    for src, clean in pairs:
+        assert tokenizer.encode(src) == tokenizer.encode(clean), (src, clean)
+
+
+def test_textfix_leaves_clean_text_alone():
+    from plip_tpu.tokenizer.textfix import fix_text
+
+    for s in ["café", "é", "naïve œuvre", "中文病理", "plain ascii 123",
+              "àüñç é"]:
+        assert fix_text(s) == s
 
 
 def test_fuzz_matches_hf(tokenizer, tmp_path):
