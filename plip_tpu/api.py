@@ -44,6 +44,23 @@ def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([x, pad], axis=0)
 
 
+def _pil_fixed(path: str, n_px: int) -> np.ndarray:
+    """PIL fallback for a failed fast-lane slot: bicubic shortest-side resize
+    to ``n_px`` + center crop (the eval-transform geometry,
+    `/root/reference/reproducibility/embedders/transform.py:45-52`)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    scale = n_px / min(w, h)
+    rw = max(n_px, round(w * scale))
+    rh = max(n_px, round(h * scale))
+    if (rw, rh) != (w, h):
+        img = img.resize((rw, rh), Image.BICUBIC)
+    left, top = (rw - n_px) // 2, (rh - n_px) // 2
+    return np.asarray(img.crop((left, top, left + n_px, top + n_px)), np.uint8)
+
+
 class PLIP:
     """Pathology Language-Image Pretraining model, TPU-native.
 
@@ -135,19 +152,46 @@ class PLIP:
         images: Sequence,
         batch_size: int = 32,
         num_workers: int = 8,
+        decode_mode: str = "fast",
     ) -> np.ndarray:
         """Images (paths / PIL / HWC arrays) -> unnormalized [N, embed_dim].
 
-        Paths stream through the threaded decode loader (native libjpeg pool
-        for JPEGs), overlapping host decode with device compute — the
-        reference's version decodes synchronously on the main thread
-        (plip.py:44, no workers).
+        decode_mode="fast" (default): when every input is a JPEG path and the
+        native pool is built, whole batches decode through the C++
+        ``decode_batch_fixed`` fast lane — libjpeg DCT scaling (decodes ~M/8
+        of the pixels for large images) + threaded shortest-side resize +
+        center crop straight into one fixed [B, 224, 224, 3] buffer, with
+        per-slot PIL fallback for non-JPEG/corrupt files. For pre-tiled
+        224x224 datasets (all the reference's validation sets) the fast lane
+        is BIT-EXACT (no resampling happens); for larger images the host
+        bilinear resample deviates slightly from the PIL-bicubic contract
+        (documented, tested to cosine > 0.995 on natural images).
+
+        decode_mode="exact": per-item full-resolution decode + the device-side
+        PIL-quantization-exact bicubic pipeline (the fidelity reference).
+
+        Either way host decode overlaps device compute — the reference decodes
+        synchronously on the main thread (plip.py:44, no workers).
         """
+        if len(images) == 0:
+            return np.zeros((0, self.cfg.embed_dim), np.float32)
+        from . import native
+
+        if (
+            decode_mode == "fast"
+            and native.available()
+            and all(
+                isinstance(im, str) and im.lower().endswith((".jpg", ".jpeg"))
+                for im in images
+            )
+        ):
+            return self._encode_images_fast(list(images), batch_size, num_workers)
+        return self._encode_images_exact(list(images), batch_size, num_workers)
+
+    def _encode_images_exact(self, images, batch_size, num_workers):
         from .data.datasets import ImageDataset
         from .data.loader import PrefetchLoader
 
-        if len(images) == 0:
-            return np.zeros((0, self.cfg.embed_dim), np.float32)
         batch_size = self._effective_batch(batch_size)
         ds = ImageDataset(list(images))
         loader = PrefetchLoader(
@@ -166,6 +210,44 @@ class PLIP:
             pixels = self._maybe_shard(pixels)
             emb = self._encode_images_fn(self.params, pixels)
             outs.append(np.asarray(emb)[:n])
+        return np.concatenate(outs, axis=0)
+
+    def _encode_images_fast(self, paths, batch_size, num_workers):
+        """decode_batch_fixed fast lane (VERDICT r1 #6): batched C++ decode
+        into the device-native [B, 224, 224, 3] uint8 layout, double-buffered
+        against device compute; failed slots re-decode via PIL."""
+        import concurrent.futures
+
+        from . import native
+        from .models.config import CLIP_IMAGE_MEAN  # noqa: F401  (doc anchor)
+        from .ops.preprocess import preprocess_batch
+
+        n_px = self.cfg.vision.image_size
+        batch_size = self._effective_batch(batch_size)
+
+        def decode(chunk):
+            batch, status = native.decode_batch_fixed(
+                chunk, shorter=n_px, crop=n_px, threads=num_workers
+            )
+            for i, rc in enumerate(status):
+                if rc != 0:
+                    batch[i] = _pil_fixed(chunk[i], n_px)
+            return batch
+
+        outs = []
+        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+            chunks = [paths[i : i + batch_size] for i in range(0, len(paths), batch_size)]
+            fut = pool.submit(decode, chunks[0])
+            for ci, chunk in enumerate(chunks):
+                batch = fut.result()
+                if ci + 1 < len(chunks):
+                    fut = pool.submit(decode, chunks[ci + 1])
+                n = batch.shape[0]
+                if n < batch_size:
+                    batch = _pad_to(batch, batch_size)
+                pixels = self._maybe_shard(preprocess_batch(batch))
+                emb = self._encode_images_fn(self.params, pixels)
+                outs.append(np.asarray(emb)[:n])
         return np.concatenate(outs, axis=0)
 
     def _maybe_shard(self, batch):

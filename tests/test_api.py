@@ -96,6 +96,65 @@ def test_retrieval(model, images):
     assert set(nn.ravel()) <= set(range(8))
 
 
+def test_fast_lane_exact_on_pretiled_224(model, tmp_path):
+    """decode_batch_fixed default path (VERDICT r1 #6): for pre-tiled 224x224
+    JPEGs (every reference validation set) NO resampling happens in the fast
+    lane, so embeddings are bit-identical to the exact path."""
+    from PIL import Image
+
+    from plip_tpu import native
+
+    if not native.available():
+        pytest.skip("native decode pool unavailable")
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(5):
+        arr = rng.integers(0, 256, (224, 224, 3), dtype=np.uint8)
+        p = str(tmp_path / f"t{i}.jpg")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    fast = model.encode_images(paths, batch_size=4, decode_mode="fast")
+    exact = model.encode_images(paths, batch_size=4, decode_mode="exact")
+    np.testing.assert_array_equal(fast, exact)
+
+
+def test_fast_lane_close_on_resized_images(model, images):
+    """Non-224 inputs resample on the host (DCT scale + bilinear) in the fast
+    lane vs device PIL-bicubic in the exact path — documented deviation,
+    embeddings must stay cosine-close."""
+    from plip_tpu import native
+
+    if not native.available():
+        pytest.skip("native decode pool unavailable")
+    fast = model.encode_images(images, batch_size=4, decode_mode="fast")
+    exact = model.encode_images(images, batch_size=4, decode_mode="exact")
+    a = fast / np.linalg.norm(fast, axis=-1, keepdims=True)
+    b = exact / np.linalg.norm(exact, axis=-1, keepdims=True)
+    assert np.sum(a * b, -1).min() > 0.99
+
+
+def test_fast_lane_pil_fallback_slot(model, images, tmp_path):
+    """A non-JPEG file with a .jpg extension fails the native decoder and
+    must transparently re-decode through PIL (per-slot fallback)."""
+    from PIL import Image
+
+    from plip_tpu import native
+
+    if not native.available():
+        pytest.skip("native decode pool unavailable")
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 256, (224, 224, 3), dtype=np.uint8)
+    fake = str(tmp_path / "actually_png.jpg")
+    Image.fromarray(arr).save(fake, format="PNG")
+    paths = images[:3] + [fake]
+    emb = model.encode_images(paths, batch_size=4, decode_mode="fast")
+    assert emb.shape == (4, 24)
+    ref = model.encode_images([arr], batch_size=1)  # array input: exact path
+    a = emb[3] / np.linalg.norm(emb[3])
+    b = ref[0] / np.linalg.norm(ref[0])
+    assert float(a @ b) > 0.999
+
+
 def test_random_arch_fallback():
     m = PLIP("random:ViT-B/32")
     assert m.cfg.vision.width == 768

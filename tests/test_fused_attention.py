@@ -32,6 +32,54 @@ def test_pallas_interpret_bf16(monkeypatch):
     assert cos.min() > 0.9999
 
 
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("shape", [(2, 257, 16, 64), (2, 197, 12, 64),
+                                   (1, 130, 4, 64), (2, 256, 8, 64)])
+def test_flash_interpret_matches_jnp(shape, causal):
+    """S-blocked flash-style kernel (S > 128 dispatch) vs the reference —
+    including ViT-L/14's 257 and awkward non-multiple-of-128 lengths."""
+    from plip_tpu.ops.attention import _pallas_flash_mha
+
+    B, S, H, D = shape
+    rng = np.random.default_rng(5)
+    qkv = jnp.asarray(rng.standard_normal((B, S, 3 * H * D)).astype(np.float32))
+    ref = _jnp_mha(qkv, H, causal)
+    out = _pallas_flash_mha(qkv, H, causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+@pytest.mark.parametrize("hpp", [None, 2, 4])
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("shape", [(2, 257, 16, 64), (1, 197, 12, 64),
+                                   (2, 130, 4, 64)])
+def test_headgrid_interpret_matches_jnp(shape, causal, hpp):
+    """Head-group grid kernel (128 < S <= 512 dispatch) vs the reference."""
+    from plip_tpu.ops.attention import _pallas_mha_headgrid
+
+    B, S, H, D = shape
+    if hpp and H % hpp:
+        pytest.skip("head count not divisible")
+    rng = np.random.default_rng(6)
+    qkv = jnp.asarray(rng.standard_normal((B, S, 3 * H * D)).astype(np.float32))
+    ref = _jnp_mha(qkv, H, causal)
+    out = _pallas_mha_headgrid(qkv, H, causal, interpret=True, hpp=hpp)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_flash_block_q_choices():
+    from plip_tpu.ops.attention import _flash_block_q
+
+    for S in (129, 257, 384, 512, 513, 1024):
+        bq = _flash_block_q(S)
+        assert bq % 16 == 0
+        nq = -(-S // bq)
+        assert nq * bq >= S
+    assert _flash_block_q(257) == 272  # one block (measured fastest, PERF.md)
+    assert _flash_block_q(1024) == 256
+
+
 def test_causal_mask_enforced():
     """Changing a future token must not affect earlier positions."""
     rng = np.random.default_rng(2)
