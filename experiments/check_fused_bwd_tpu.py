@@ -1,0 +1,81 @@
+"""On-TPU grad parity: fused-sublayer training path vs composed path.
+
+The interpret-mode tests prove the math; this checks the Mosaic-compiled
+kernel on real hardware at full ViT-B/32 shapes (bf16 compute)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import plip_tpu.models.layers as L
+from plip_tpu.models import clip as jclip
+from plip_tpu.models.config import CLIPConfig
+from plip_tpu.train.contrastive import clip_loss
+
+
+def main():
+    cfg = CLIPConfig.vit_b32()
+    params = jclip.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = 32
+    px = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)).astype(np.float32))
+    ids_np = np.zeros((batch, 77), np.int32)
+    ids_np[:, 0] = 49406
+    ids_np[:, 1] = np.arange(batch) % 49000
+    ids_np[:, 2] = 49407
+    ids = jnp.asarray(ids_np)
+
+    orig_block = L.block
+
+    def composed_block(x, p, heads, causal=False, eps=1e-5, act="quick_gelu",
+                       fused_sublayer=True):
+        return orig_block(x, p, heads, causal, eps, act, fused_sublayer=False)
+
+    dtype = jnp.float32 if "--fp32" in sys.argv else jnp.bfloat16
+
+    def grads():
+        f = jax.jit(jax.value_and_grad(
+            lambda p: clip_loss(p, px, ids, cfg, dtype, True)[0]))
+        return f(params)
+
+    loss_f, g_f = grads()
+    L.block = composed_block
+    try:
+        loss_c, g_c = grads()
+    finally:
+        L.block = orig_block
+
+    print(f"dtype={dtype.__name__} "
+          f"loss fused={float(loss_f):.6f} composed={float(loss_c):.6f}")
+    rows = []
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_f)[0],
+        jax.tree_util.tree_flatten_with_path(g_c)[0],
+    ):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        cos = float(np.dot(a, b) / (na * nb)) if na and nb else 1.0
+        rows.append((cos, jax.tree_util.keystr(path), na, nb))
+    rows.sort()
+    for cos, path, na, nb in rows[:12]:
+        print(f"  cos={cos:+.6f} |f|={na:.3e} |c|={nb:.3e}  {path}")
+    print(f"worst grad cosine: {rows[0][0]:.6f} at {rows[0][1]}")
+    # fp32: both paths share precision semantics -> near-exact (measured
+    # worst 0.99974, loss equal to 6 decimals). bf16: the fused kernel
+    # accumulates weight grads in fp32 while the composed path emits bf16
+    # dots, so small-bias leaves diverge by rounding (measured worst 0.9968
+    # with norms matching to 0.3% and loss to 4 decimals) — the fused path
+    # is the *more* accurate of the two.
+    assert rows[0][0] > (0.999 if dtype == jnp.float32 else 0.995), "grad mismatch"
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()

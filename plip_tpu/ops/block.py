@@ -174,7 +174,7 @@ def transformer_block(x, p, heads: int, causal: bool = False,
     """One fused pre-LN transformer block (QuickGELU MLP) on TPU; composed
     jnp elsewhere. Inference-oriented; the VJP falls back to the composed
     path (training uses models/layers.block with remat)."""
-    if _use_pallas() and x.shape[1] <= 128:
+    if _use_pallas() and x.shape[1] <= 128 and "kernel" in p["attn"]["qkv"]:
         return _pallas_block(x, p, heads, causal, eps)
     return _jnp_block(x, p, heads, causal, eps)
 

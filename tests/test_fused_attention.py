@@ -159,6 +159,66 @@ def test_attention_sublayer_pallas_matches_jnp(causal):
                                atol=2e-5)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("shape,heads", [((3, 10, 64), 4), ((2, 50, 96), 3),
+                                         ((5, 8, 32), 4)])
+def test_attention_sublayer_bwd_kernel_matches_vjp(shape, heads, causal):
+    """The hand-written sublayer backward kernel (interpret mode) must match
+    jax.vjp of the composed path: dx, dLN(γ,β), dWqkv/bqkv, dWout/bout."""
+    from plip_tpu.models.layers import init_block_stack
+    from plip_tpu.ops.attention import (
+        _jnp_attn_sublayer,
+        _pallas_attn_sublayer_bwd,
+    )
+
+    B, S, W = shape
+    rng = np.random.default_rng(21)
+    blk = jax.tree.map(
+        lambda a: a[0], init_block_stack(jax.random.PRNGKey(3), 1, W)
+    )
+    x = jnp.asarray(rng.standard_normal((B, S, W)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((B, S, W)).astype(np.float32))
+    _, vjp = jax.vjp(
+        lambda a, l, at: _jnp_attn_sublayer(a, l, at, heads, causal, 1e-5),
+        x, blk["ln1"], blk["attn"],
+    )
+    ref = vjp(g)
+    out = _pallas_attn_sublayer_bwd(x, g, blk["ln1"], blk["attn"], heads,
+                                    causal, 1e-5, interpret=True)
+    for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-4)
+
+
+def test_attention_sublayer_bwd_kernel_bf16():
+    """bf16 activations: kernel grads must stay close to the fp32 vjp of the
+    same bf16 composed path (weight grads fp32-accumulated)."""
+    from plip_tpu.models.layers import init_block_stack
+    from plip_tpu.ops.attention import (
+        _jnp_attn_sublayer,
+        _pallas_attn_sublayer_bwd,
+    )
+
+    rng = np.random.default_rng(22)
+    blk = jax.tree.map(
+        lambda a: a[0], init_block_stack(jax.random.PRNGKey(4), 1, 64)
+    )
+    x = jnp.asarray(rng.standard_normal((4, 12, 64)), jnp.bfloat16)
+    g = jnp.asarray(rng.standard_normal((4, 12, 64)), jnp.bfloat16)
+    _, vjp = jax.vjp(
+        lambda a, l, at: _jnp_attn_sublayer(a, l, at, 4, False, 1e-5),
+        x, blk["ln1"], blk["attn"],
+    )
+    ref = vjp(g)
+    out = _pallas_attn_sublayer_bwd(x, g, blk["ln1"], blk["attn"], 4, False,
+                                    1e-5, interpret=True)
+    for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(ref)):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.999
+
+
 def test_attention_sublayer_gradients():
     from plip_tpu.ops.attention import _jnp_attn_sublayer, attention_sublayer
     from plip_tpu.models.layers import init_block_stack
