@@ -86,13 +86,14 @@ def train_mode():
         make_train_step,
     )
 
-    batch = 256
+    batch = 512
     iters = 10
     cfg = CLIPConfig.vit_b32()
     params = jclip.init_params(jax.random.PRNGKey(0), cfg)
     opt = make_optimizer(base_lr=1e-5, warmup=10, total_steps=1000)
     state = init_train_state(params, opt)
-    step = make_train_step(cfg, opt, dtype=jnp.bfloat16, remat=True)
+    # MLP-half remat: fastest fitting policy on one v5e chip (PERF.md r2)
+    step = make_train_step(cfg, opt, dtype=jnp.bfloat16, remat="mlp")
 
     rng = np.random.default_rng(0)
     px = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)).astype(np.float32))

@@ -72,7 +72,12 @@ def main():
           f"= {gfl_fwd:.2f}")
     rng = np.random.default_rng(0)
 
-    for batch in (256, 512):
+    # HBM on this chip fragments across sections; run ONE batch size per
+    # process (`--batch N`) — the b=512 section OOMed at device_put when run
+    # after the full b=256 sweep.
+    batches = ((int(sys.argv[sys.argv.index("--batch") + 1]),)
+               if "--batch" in sys.argv else (256, 512))
+    for batch in batches:
         px = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)).astype(np.float32))
         ids_np = np.zeros((batch, 77), np.int32)
         ids_np[:, 0] = 49406

@@ -104,6 +104,7 @@ def block(
     eps: float = 1e-5,
     act: str = "quick_gelu",
     fused_sublayer: bool = True,
+    mlp_remat: bool = False,
 ) -> jnp.ndarray:
     """Pre-LN transformer block (residual → attn, residual → MLP).
 
@@ -122,8 +123,14 @@ def block(
         x = attention_sublayer(x, p["ln1"], p["attn"], heads, causal, eps)
     else:
         x = x + attention(layer_norm(x, p["ln1"], eps), p["attn"], heads, causal)
-    x = x + mlp(layer_norm(x, p["ln2"], eps), p["mlp"], act)
-    return x
+    if mlp_remat:
+        # checkpoint ONLY the MLP half: its fc1 activations ([B, S, 4W]) are
+        # the bulk of a block's residuals, while the attention sublayer's
+        # custom VJP already saves nothing but its input
+        half = jax.checkpoint(
+            lambda a, ln2, pm: a + mlp(layer_norm(a, ln2, eps), pm, act))
+        return half(x, p["ln2"], p["mlp"])
+    return x + mlp(layer_norm(x, p["ln2"], eps), p["mlp"], act)
 
 
 def transformer(
@@ -132,21 +139,30 @@ def transformer(
     heads: int,
     causal: bool = False,
     eps: float = 1e-5,
-    remat: bool = False,
+    remat: "bool | str" = False,
     act: str = "quick_gelu",
 ) -> jnp.ndarray:
     """Run a stack of blocks whose params have a leading layer axis, via scan.
 
-    ``remat=True`` marks the training path: blocks rematerialize under
-    jax.checkpoint. Both paths use the fused attention-sublayer kernel (its
-    custom VJP is a second Pallas kernel, so the remat recompute is just the
-    fused forward — measured +9% train throughput over the composed path)."""
+    Training memory/speed trade (measured on v5e, PERF.md round 2):
+
+    - ``remat=True``: whole-block jax.checkpoint — smallest footprint (one
+      [B,S,W] carry per layer), recomputes the full block in the backward.
+    - ``remat="mlp"``: checkpoint only the MLP half. The fused attention
+      sublayer's custom VJP saves nothing but its input anyway, so this
+      keeps ~2×[B,S,W] per layer while skipping the attention-sublayer
+      recompute — faster than full remat wherever it fits.
+    - ``remat=False``: no checkpointing (the [B,S,4W] fc1 activations
+      dominate; OOMs at batch ≥256 full-step on one v5e chip).
+
+    All paths use the fused attention-sublayer kernel (its custom VJP is a
+    second Pallas kernel — measured +9% train throughput over composed)."""
 
     def body(h, layer_params):
         return block(h, layer_params, heads, causal, eps, act,
-                     fused_sublayer=True), None
+                     fused_sublayer=True, mlp_remat=remat == "mlp"), None
 
-    if remat:
+    if remat is True:
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, stacked)
     return x

@@ -56,6 +56,7 @@ class CLIPTuner:
         mesh=None,
         seed: int = 0,
         aug_cfg: Optional[AugmentConfig] = None,
+        remat="auto",
     ):
         import logging as _logging
 
@@ -65,6 +66,11 @@ class CLIPTuner:
         self.hyper_params = {"lr": lr, "weight_decay": weight_decay}
         self.dtype = dtype
         self.mesh = mesh
+        # "auto": no checkpointing at reference-scale batches (the reference
+        # trains at batch 4, clip.py: --batch_size default), MLP-half remat
+        # for large-batch TPU runs — fastest fitting policy on v5e
+        # (1,998 pairs/s at b512 vs 1,832 full remat, PERF.md round 2).
+        self.remat = remat
 
         if backbone:
             from ..utils.checkpoint import load_checkpoint, load_torch_checkpoint
@@ -149,7 +155,9 @@ class CLIPTuner:
 
                 params = shard_params(params, self.mesh)
             self.state = init_train_state(params, opt)
-        step_fn = make_train_step(cfg, opt, dtype=self.dtype)
+        remat = ("mlp" if batch_size >= 64 else False) \
+            if self.remat == "auto" else self.remat
+        step_fn = make_train_step(cfg, opt, dtype=self.dtype, remat=remat)
         self._eval_loss = jax.jit(
             lambda p, px, ids: clip_loss(p, px, ids, cfg, self.dtype)
         )

@@ -44,9 +44,13 @@ def clip_loss(
     ids: jnp.ndarray,
     cfg: CLIPConfig,
     dtype=jnp.float32,
-    remat: bool = False,
+    remat: "bool | str" = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Symmetric InfoNCE: mean of image->text and text->image CE."""
+    """Symmetric InfoNCE: mean of image->text and text->image CE.
+
+    ``remat``: False / True / "mlp" — see models/layers.transformer for the
+    measured memory/speed trade ("mlp" is the fastest fitting policy for
+    large-batch single-chip training)."""
     logits_per_image, logits_per_text = jclip.forward(
         params, pixels, ids, cfg, dtype=dtype, remat=remat
     )
@@ -136,7 +140,7 @@ def make_train_step(
     cfg: CLIPConfig,
     optimizer: optax.GradientTransformation,
     dtype=jnp.float32,
-    remat: bool = False,
+    remat: "bool | str" = False,
 ):
     """Build the jitted train step.
 

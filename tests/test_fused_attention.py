@@ -219,6 +219,35 @@ def test_attention_sublayer_bwd_kernel_bf16():
         assert cos > 0.999
 
 
+@pytest.mark.parametrize("remat", [False, True, "mlp"])
+def test_remat_modes_same_loss_and_grads(remat):
+    """remat False / True / 'mlp' are pure scheduling choices — loss and
+    gradients must be identical (checkpointing never changes math)."""
+    from plip_tpu.models import clip as jclip
+    from plip_tpu.models.config import CLIPConfig
+    from plip_tpu.train.contrastive import clip_loss
+
+    cfg = CLIPConfig.tiny()
+    params = jclip.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(31)
+    px = jnp.asarray(rng.standard_normal(
+        (4, cfg.vision.image_size, cfg.vision.image_size, 3)).astype(np.float32))
+    ids = np.zeros((4, cfg.text.context_length), np.int32)
+    ids[:, 0] = 1
+    ids[:, 1] = cfg.text.eot
+    ids = jnp.asarray(ids)
+
+    def lv(p, r):
+        return clip_loss(p, px, ids, cfg, jnp.float32, r)[0]
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: lv(p, False))(params)
+    l, g = jax.value_and_grad(lambda p: lv(p, remat))(params)
+    np.testing.assert_allclose(float(l), float(l_ref), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+
+
 def test_attention_sublayer_gradients():
     from plip_tpu.ops.attention import _jnp_attn_sublayer, attention_sublayer
     from plip_tpu.models.layers import init_block_stack
