@@ -56,11 +56,12 @@ def chain_timeit(scalar_fn, params, px, ids, iters=10):
 
 
 def force(g):
-    """Scalar that depends on the deepest grads -> backward cannot be DCE'd."""
-    out = jnp.sum(g["visual"]["patch_embed"]["kernel"]) if "visual" in g else 0.0
-    if "text" in g:
-        out = out + jnp.sum(g["text"]["token_embed"])
-    return out
+    """Scalar depending on EVERY grad leaf. Forcing only the deepest leaves
+    (round-1 version) keeps the dx chain but lets XLA DCE the sibling dW
+    matmuls (dW_mlp etc. aren't needed to propagate dx) — that probe
+    under-measured the true backward by ~25 ms at b512 (see PERF.md r2
+    optimizer study)."""
+    return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(g))
 
 
 def main():
