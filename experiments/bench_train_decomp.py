@@ -115,7 +115,7 @@ def main():
                 emb = jclip.encode_image(q, x, cfg, jnp.bfloat16, remat=True)
                 return jnp.sum(emb.astype(jnp.float32) ** 2) * 1e-6
 
-            return jnp.sum(jax.grad(loss)(p)["visual"]["patch_embed"]["kernel"])
+            return force(jax.grad(loss)(p))
 
         dt = chain_timeit(img_scalar, params, px, ids, iters)
         print(f"b={batch} image fwd+bwd:       {dt*1e3:7.1f} ms "
@@ -126,7 +126,7 @@ def main():
                 emb = jclip.encode_text(q, i, cfg, jnp.bfloat16, remat=True)
                 return jnp.sum(emb.astype(jnp.float32) ** 2) * 1e-6
 
-            return jnp.sum(jax.grad(loss)(p)["text"]["token_embed"]) + x[0, 0, 0] * 0
+            return force(jax.grad(loss)(p)) + x[0, 0, 0] * 0
 
         dt = chain_timeit(txt_scalar, params, px, ids, iters)
         print(f"b={batch} text fwd+bwd:        {dt*1e3:7.1f} ms "

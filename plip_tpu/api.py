@@ -93,7 +93,19 @@ class PLIP:
         self.model_name = model_name
         self.dtype = dtype
         self.params, self.cfg = self._load_model(model_name)
+        self.tokenizer = tokenizer if tokenizer is not None else default_tokenizer()
+        self.image_vectors: Optional[np.ndarray] = None
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip inference: params replicated/tp-sharded per the
+            # mesh rules; encode batches are dp-sharded in the encode loops
+            from .parallel.mesh import shard_params
+
+            self.params = shard_params(self.params, mesh)
         if quantize is not None:
+            # after mesh placement: shard_params' spec tree matches the fp32
+            # structure, and the int8 kernels inherit the tp sharding of the
+            # fp32 kernels they're derived from
             if quantize != "w8a8":
                 raise ValueError(f"unknown quantize mode {quantize!r}")
             if self.cfg.vision.width < 1024:
@@ -113,15 +125,6 @@ class PLIP:
                              "blocks": quantize_block_linears(
                                  self.params["text"]["blocks"])},
                 }
-        self.tokenizer = tokenizer if tokenizer is not None else default_tokenizer()
-        self.image_vectors: Optional[np.ndarray] = None
-        self.mesh = mesh
-        if mesh is not None:
-            # multi-chip inference: params replicated/tp-sharded per the
-            # mesh rules; encode batches are dp-sharded in the encode loops
-            from .parallel.mesh import shard_params
-
-            self.params = shard_params(self.params, mesh)
 
         cfg = self.cfg
 

@@ -18,11 +18,14 @@ Matches the block the reference runs inside HF ``CLIPModel.get_image_features``
 Numerics identical to the composed path: fp32 LN and softmax islands, fp32
 matmul accumulation, bf16 emission (models/layers.py conventions).
 
-Round-1 context (PERF.md): the fused *MLP-only* sublayer kernel measured
-SLOWER than XLA's global MLP scheduling; the fused *attention* sublayer won
-+10%. This kernel is the experiment that decides whether a whole-block fusion
-(which also deletes the inter-sublayer x round-trip and LN2 read) beats the
-[attention-fused + XLA-MLP] split — gated by measurement in layers.block.
+MEASURED NEGATIVE (round 2, PERF.md): 12.0k img/s at best block_b vs 13.3k
+for the default [fused-attention-sublayer + XLA MLP] split at ViT-B/32
+batch 512 — same root cause as round 1's fused-MLP-sublayer loss: the MLP
+matmuls are ~2/3 of block FLOPs and XLA's global scheduling pipelines them
+across batch-blocks better than one per-program instruction stream; the
+saved inter-sublayer HBM round-trip (~1 ms) can't cover that. Kept as a
+parity-tested op for future hardware/width regimes; NOT wired into
+layers.block.
 """
 
 from __future__ import annotations

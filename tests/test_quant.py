@@ -85,6 +85,21 @@ def test_api_quantize_flag_warns_below_l14(tmp_path):
         PLIP(model_name="random:ViT-B/32", quantize="int4")
 
 
+def test_api_quantize_with_mesh():
+    """quantize must compose with mesh sharding (shard first, then quantize:
+    the fixed spec tree only matches the fp32 structure)."""
+    from plip_tpu.api import PLIP
+    from plip_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(dp=4, tp=2)
+    p = PLIP(model_name="random:ViT-L/14", mesh=mesh, quantize="w8a8")
+    blocks = p.params["visual"]["blocks"]
+    assert blocks["attn"]["qkv"]["kernel_q"].dtype == jnp.int8
+    emb = p.encode_images([np.zeros((224, 224, 3), np.uint8)] * 4,
+                          batch_size=4)
+    assert emb.shape == (4, 768) and np.isfinite(emb).all()
+
+
 def test_api_quantize_applies_at_l14_width():
     from plip_tpu.api import PLIP
 
