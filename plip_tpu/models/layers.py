@@ -156,7 +156,32 @@ def transformer(
       dominate; OOMs at batch ≥256 full-step on one v5e chip).
 
     All paths use the fused attention-sublayer kernel (its custom VJP is a
-    second Pallas kernel — measured +9% train throughput over composed)."""
+    second Pallas kernel — measured +9% train throughput over composed).
+
+    The scan runs on FLAT [B*S, W] tokens when the fused kernel is usable:
+    on TPU a [B, 50, W] HBM buffer pads S to 56-sublane tiles, so keeping
+    the 3D shape taxes every op with ~12% padded bandwidth and each
+    kernel-boundary reshape is a relayout copy. LN/MLP/linear are per-token
+    and shape-agnostic; the flat fused kernel handles attention's S
+    structure block-diagonally (ops/attention.py). Composed-path models
+    (S > 128, int8) keep the 3D scan."""
+    from ..ops.attention import _flat_pallas_ok, attention_sublayer_flat
+
+    B, S, W = x.shape
+    first = jax.tree.map(lambda a: a[0], stacked["attn"])
+    if _flat_pallas_ok(B * S, S, first):
+        def body(h, p):
+            h = attention_sublayer_flat(h, p["ln1"], p["attn"], S, heads,
+                                        causal, eps)
+            half = lambda a, ln2, pm: a + mlp(layer_norm(a, ln2, eps), pm, act)
+            if remat == "mlp":
+                half = jax.checkpoint(half)
+            return half(h, p["ln2"], p["mlp"]), None
+
+        if remat is True:
+            body = jax.checkpoint(body)
+        out, _ = jax.lax.scan(body, x.reshape(B * S, W), stacked)
+        return out.reshape(B, S, W)
 
     def body(h, layer_params):
         return block(h, layer_params, heads, causal, eps, act,

@@ -422,69 +422,112 @@ fused_attention.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 
 
+def _sublayer_block_b(B: int, S: int, want: int) -> "int | None":
+    """Pick block_b for the flat-token sublayer kernels: needs ``B % bb == 0``
+    and ``(bb*S) % 8 == 0`` (Mosaic sublane divisibility), except ``bb == B``
+    where the block equals the whole array (always legal). Returns None when
+    only the whole-array block would work but it is too big to hold the
+    [M, M] logits in VMEM — callers then fall back to the composed path."""
+    cands = [bb for bb in range(1, B + 1)
+             if B % bb == 0 and (bb * S) % 8 == 0]
+    if not cands:
+        return B if B * S <= 2048 else None
+    ge = [bb for bb in cands if bb >= want]
+    return min(ge) if ge else max(cands)
+
+
+def _blockdiag_mask(M: int, S: int, causal: bool):
+    """fp32 {0,1} mask for block-diagonal attention over ``M = block_b*S``
+    flattened rows: token i may attend token j iff they belong to the same
+    batch row (i//S == j//S), AND j <= i within the row if causal."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+    ok = (r // S) == (c // S)
+    if causal:
+        ok = jnp.logical_and(ok, (c - (c // S) * S) <= (r - (r // S) * S))
+    return ok
+
+
 def _attn_sublayer_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                           wout_ref, bout_ref, o_ref, *, heads: int, eps: float,
-                          causal: bool, block_b: int):
-    for g in range(block_b):
-        x = x_ref[g]  # [S, W]
-        S, W = x.shape
-        D = W // heads
-        scale = D ** -0.5
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, -1, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), -1, keepdims=True)
-        ln = (
-            (x32 - mean) * jax.lax.rsqrt(var + eps)
-            * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
-        ).astype(x.dtype)
-        qkv = (
-            jnp.dot(ln, wqkv_ref[:], preferred_element_type=jnp.float32)
-            + bqkv_ref[:]
-        ).astype(x.dtype)
-        ctx_cols = []
-        for h in range(heads):
-            q = qkv[:, h * D:(h + 1) * D]
-            k = qkv[:, W + h * D:W + (h + 1) * D]
-            v = qkv[:, 2 * W + h * D:2 * W + (h + 1) * D]
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale
-            if causal:
-                row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-                col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-                logits = jnp.where(col <= row, logits, -jnp.inf)
-            m = jnp.max(logits, -1, keepdims=True)
-            p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, -1, keepdims=True)
-            ctx_cols.append(
-                jnp.dot(p.astype(x.dtype), v,
-                        preferred_element_type=jnp.float32).astype(x.dtype)
-            )
-        ctx = jnp.concatenate(ctx_cols, axis=-1)
-        y = (
-            jnp.dot(ctx, wout_ref[:], preferred_element_type=jnp.float32)
-            + bout_ref[:]
-        ).astype(x.dtype)
-        o_ref[g] = x + y
+                          causal: bool, S: int):
+    """One program = ``block_b`` batch rows, flattened to ``M = block_b*S``
+    token rows (the flatten happens OUTSIDE the kernel, where [B,S,W] →
+    [B*S,W] is a free contiguous reshape — an in-kernel reshape of a
+    sublane-padded [block_b,50,W] tile relayouts every row and measured
+    SLOWER than the per-row kernel it replaced).
+
+    Dense ops (LN, QKV, out-proj, residual) run once per program at M rows
+    (M=400 for ViT-B/32 block_b=8 vs the old per-row M=50 — the M=50 dots
+    padded to 64 sublanes left the MXU ~60% idle in the matmuls holding most
+    of the sublayer FLOPs; measured 38% MFU fwd / 27%@3x bwd,
+    bench_bwd_halves.py). The attention core is computed BLOCK-DIAGONALLY:
+    one [M, M] masked logits dot per head instead of block_b small [S, S]
+    dots. The masked columns contribute exact 0.0 to softmax sums and PV
+    dots, so results are bit-identical to the per-row formulation; the extra
+    FLOPs are ~3% of the sublayer and buy aligned shapes, no row slicing,
+    and ~4x fewer Mosaic dots (faster compiles)."""
+    M, W = x_ref.shape
+    D = W // heads
+    scale = D ** -0.5
+    xb = x_ref[:]
+    x32 = xb.astype(jnp.float32)
+    mean = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), -1, keepdims=True)
+    ln = (
+        (x32 - mean) * jax.lax.rsqrt(var + eps)
+        * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+    ).astype(xb.dtype)
+    qkv = (
+        jnp.dot(ln, wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[:]
+    ).astype(xb.dtype)
+    mask = _blockdiag_mask(M, S, causal)
+    ctx_cols = []
+    for h in range(heads):
+        q = qkv[:, h * D:(h + 1) * D]
+        k = qkv[:, W + h * D:W + (h + 1) * D]
+        v = qkv[:, 2 * W + h * D:2 * W + (h + 1) * D]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        logits = jnp.where(mask, logits, -jnp.inf)
+        m = jnp.max(logits, -1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, -1, keepdims=True)
+        ctx_cols.append(
+            jnp.dot(p.astype(xb.dtype), v,
+                    preferred_element_type=jnp.float32).astype(xb.dtype)
+        )
+    ctx = jnp.concatenate(ctx_cols, axis=-1)  # [M, W]
+    y = (
+        jnp.dot(ctx, wout_ref[:], preferred_element_type=jnp.float32)
+        + bout_ref[:]
+    ).astype(xb.dtype)
+    o_ref[:] = xb + y
 
 
-def _pallas_attn_sublayer(x, ln_p, attn_p, heads, causal, eps,
-                          block_b: int = 8, interpret: bool = False):
-    # block_b=8 measured best on v5e for ViT-B/32 (13.3k img/s vs 13.0k at 1,
-    # 13.2k at 2/4, 13.3k at 8, 13.26k at 16)
-    B, S, W = x.shape
-    while B % block_b:
-        block_b //= 2
-    wqkv = attn_p["qkv"]["kernel"].astype(x.dtype)
-    wout = attn_p["out"]["kernel"].astype(x.dtype)
+def _pallas_attn_sublayer_flat(x2, ln_p, attn_p, S, heads, causal, eps,
+                               block_b: "int | None" = None,
+                               interpret: bool = False):
+    # block_b=4 (M=200 token rows) measured best on v5e for the flat
+    # block-diag kernel at ViT-B/32 b512: 17.9 ms/stack vs 19.8 at 8 and
+    # 28.5 at 16 — bigger blocks raise the block-diag core's wasted FLOPs
+    # (∝ block_b) faster than the dense-matmul M helps.
+    N, W = x2.shape
+    B = N // S
+    if block_b is None:
+        block_b = _sublayer_block_b(B, S, want=4)
+    M = block_b * S
+    wqkv = attn_p["qkv"]["kernel"].astype(x2.dtype)
+    wout = attn_p["out"]["kernel"].astype(x2.dtype)
     const = lambda b: (0,)
     return pl.pallas_call(
         functools.partial(_attn_sublayer_kernel, heads=heads, eps=eps,
-                          causal=causal, block_b=block_b),
+                          causal=causal, S=S),
         grid=(B // block_b,),
         in_specs=[
-            pl.BlockSpec((block_b, S, W), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, W), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((W, 3 * W), lambda b: (0, 0), memory_space=pltpu.VMEM),
@@ -492,15 +535,28 @@ def _pallas_attn_sublayer(x, ln_p, attn_p, heads, causal, eps,
             pl.BlockSpec((W, W), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, S, W), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((M, W), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, S, W), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, W), x2.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(x, ln_p["scale"], ln_p["bias"], wqkv, attn_p["qkv"]["bias"],
-      wout, attn_p["out"]["bias"])
+    )(x2, ln_p["scale"], ln_p["bias"], wqkv,
+      attn_p["qkv"]["bias"], wout, attn_p["out"]["bias"])
+
+
+def _pallas_attn_sublayer(x, ln_p, attn_p, heads, causal, eps,
+                          block_b: "int | None" = None,
+                          interpret: bool = False):
+    """[B, S, W] compatibility wrapper over the flat kernel. Prefer
+    ``attention_sublayer_flat`` inside towers: the reshape here is a real
+    tile-relayout copy on TPU ([B, 50, W] pads S to 56 sublanes in HBM)."""
+    B, S, W = x.shape
+    out = _pallas_attn_sublayer_flat(
+        x.reshape(B * S, W), ln_p, attn_p, S, heads, causal, eps,
+        block_b=block_b, interpret=interpret)
+    return out.reshape(B, S, W)
 
 
 def _jnp_attn_sublayer(x, ln_p, attn_p, heads, causal, eps):
@@ -525,7 +581,8 @@ def attention_sublayer(x, ln_p, attn_p, heads: int, causal: bool = False,
     route — in both passes, since the gate in `_sub_bwd` mirrors this one.
     int8-quantized params (ops/quant.py, no ``kernel`` leaf) always take the
     composed path, whose `linear` dispatches to the W8A8 matmul."""
-    if _use_pallas() and x.shape[1] <= 128 and "kernel" in attn_p["qkv"]:
+    if (_use_pallas() and x.shape[1] <= 128 and "kernel" in attn_p["qkv"]
+            and _sublayer_block_b(x.shape[0], x.shape[1], 4) is not None):
         return _pallas_attn_sublayer(x, ln_p, attn_p, heads, causal, eps)
     return _jnp_attn_sublayer(x, ln_p, attn_p, heads, causal, eps)
 
@@ -534,7 +591,7 @@ def _attn_sublayer_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
                               bqkv_ref, wout_ref, dx_ref, dlns_ref, dlnb_ref,
                               dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref, *,
                               heads: int, eps: float, causal: bool,
-                              block_b: int):
+                              S: int):
     """Hand-written backward for the fused attention sublayer (VERDICT r1 #2).
 
     One program per batch-block: recomputes LN1/QKV/softmax in VMEM
@@ -553,11 +610,17 @@ def _attn_sublayer_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
     (constant output index maps → the accumulator block never leaves VMEM);
     they are zeroed at program 0. This replaces round 1's `jax.vjp` fallback
     over the composed path, which re-ran the composed forward and made fused
-    training *slower* than composed (PERF.md r1)."""
-    W = heads * (x_ref.shape[2] // heads)
+    training *slower* than composed (PERF.md r1).
+
+    Like the forward kernel, the program operates on a flat [M = block_b*S,
+    W] token block (flattened outside the kernel) — dense matmuls (QKV
+    recompute, dWout, dctx, dWqkv, dln, LN backward) run once per program at
+    M rows, and the attention core fwd recompute + backward are
+    block-diagonal [M, M] masked dots per head (exact: masked entries are
+    0.0 in P and dS, contributing exact zeros to every contraction)."""
+    M, W = x_ref.shape
     D = W // heads
     scale = D ** -0.5
-    S = x_ref.shape[1]
 
     @pl.when(pl.program_id(0) == 0)
     def _zero():
@@ -570,120 +633,113 @@ def _attn_sublayer_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
 
     lns32 = lns_ref[:].astype(jnp.float32)
     lnb32 = lnb_ref[:].astype(jnp.float32)
-    for bi in range(block_b):
-        x = x_ref[bi]  # [S, W]
-        gy = g_ref[bi]  # [S, W]
-        # ---- recompute forward (identical math to _attn_sublayer_kernel)
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, -1, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), -1, keepdims=True)
-        rstd = jax.lax.rsqrt(var + eps)
-        xhat = (x32 - mean) * rstd  # [S, W] fp32
-        ln = (xhat * lns32 + lnb32).astype(x.dtype)
-        qkv = (
-            jnp.dot(ln, wqkv_ref[:], preferred_element_type=jnp.float32)
-            + bqkv_ref[:]
-        ).astype(x.dtype)
-        ctx_cols, p_heads = [], []
-        for h in range(heads):
-            q = qkv[:, h * D:(h + 1) * D]
-            k = qkv[:, W + h * D:W + (h + 1) * D]
-            v = qkv[:, 2 * W + h * D:2 * W + (h + 1) * D]
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            if causal:
-                row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-                col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-                logits = jnp.where(col <= row, logits, -jnp.inf)
-            m = jnp.max(logits, -1, keepdims=True)
-            p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, -1, keepdims=True)  # [S, S] fp32
-            p_heads.append(p)
-            ctx_cols.append(
-                jnp.dot(p.astype(x.dtype), v,
-                        preferred_element_type=jnp.float32).astype(x.dtype)
-            )
-        ctx = jnp.concatenate(ctx_cols, axis=-1)  # [S, W]
-        # ---- backward
-        dwout_ref[:, :] += jax.lax.dot_general(
-            ctx, gy, (((0,), (0,)), ((), ())),
+    xb = x_ref[:]
+    gyb = g_ref[:]
+    # ---- recompute forward (identical math to _attn_sublayer_kernel)
+    x32 = xb.astype(jnp.float32)
+    mean = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), -1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x32 - mean) * rstd  # [M, W] fp32
+    ln = (xhat * lns32 + lnb32).astype(xb.dtype)
+    qkv = (
+        jnp.dot(ln, wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[:]
+    ).astype(xb.dtype)
+    # dctx for every row at once (one M-row dot), before the core loop
+    dctx = jax.lax.dot_general(
+        gyb, wout_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(xb.dtype)
+    mask = _blockdiag_mask(M, S, causal)
+    ctx_cols, dq_cols, dk_cols, dv_cols = [], [], [], []
+    for h in range(heads):
+        q = qkv[:, h * D:(h + 1) * D]
+        k = qkv[:, W + h * D:W + (h + 1) * D]
+        v = qkv[:, 2 * W + h * D:2 * W + (h + 1) * D]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        logits = jnp.where(mask, logits, -jnp.inf)
+        m = jnp.max(logits, -1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, -1, keepdims=True)  # [M, M] fp32, block-diag
+        ctx_cols.append(
+            jnp.dot(p.astype(xb.dtype), v,
+                    preferred_element_type=jnp.float32).astype(xb.dtype)
+        )
+        gh = dctx[:, h * D:(h + 1) * D]
+        p_c = p.astype(xb.dtype)
+        dv = jax.lax.dot_general(
+            p_c, gh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dbout_ref[:] += jnp.sum(gy.astype(jnp.float32), axis=0)
-        dctx = jax.lax.dot_general(
-            gy, wout_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)  # [S, W]
-        dq_cols, dk_cols, dv_cols = [], [], []
-        for h in range(heads):
-            q = qkv[:, h * D:(h + 1) * D]
-            k = qkv[:, W + h * D:W + (h + 1) * D]
-            v = qkv[:, 2 * W + h * D:2 * W + (h + 1) * D]
-            p = p_heads[h]
-            gh = dctx[:, h * D:(h + 1) * D]
-            p_c = p.astype(x.dtype)
-            dv = jax.lax.dot_general(
-                p_c, gh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dp = jax.lax.dot_general(
-                gh, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
-            ds = (p * (dp - dsum)).astype(x.dtype)  # [S, S]
-            dq_cols.append(
-                (jnp.dot(ds, k, preferred_element_type=jnp.float32)
-                 * scale).astype(x.dtype))
-            dk_cols.append(
-                (jax.lax.dot_general(
-                    ds, q, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * scale).astype(x.dtype))
-            dv_cols.append(dv.astype(x.dtype))
-        dqkv = jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1)  # [S, 3W]
-        dwqkv_ref[:, :] += jax.lax.dot_general(
-            ln, dqkv, (((0,), (0,)), ((), ())),
+        dp = jax.lax.dot_general(
+            gh, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dbqkv_ref[:] += jnp.sum(dqkv.astype(jnp.float32), axis=0)
-        dln = jax.lax.dot_general(
-            dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [S, W] fp32
-        dlns_ref[:] += jnp.sum(dln * xhat, axis=0)
-        dlnb_ref[:] += jnp.sum(dln, axis=0)
-        dxhat = dln * lns32
-        dx_ln = rstd * (
-            dxhat
-            - jnp.mean(dxhat, -1, keepdims=True)
-            - xhat * jnp.mean(dxhat * xhat, -1, keepdims=True)
-        )
-        dx_ref[bi] = gy + dx_ln.astype(x.dtype)
+        dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - dsum)).astype(xb.dtype)  # [M, M], zero off-block
+        dq_cols.append(
+            (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+             * scale).astype(xb.dtype))
+        dk_cols.append(
+            (jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale).astype(xb.dtype))
+        dv_cols.append(dv.astype(xb.dtype))
+    ctx = jnp.concatenate(ctx_cols, axis=-1)  # [M, W]
+    dqkv = jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1)  # [M, 3W]
+    # ---- dense backward, all rows at once
+    dwout_ref[:, :] += jax.lax.dot_general(
+        ctx, gyb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbout_ref[:] += jnp.sum(gyb.astype(jnp.float32), axis=0)
+    dwqkv_ref[:, :] += jax.lax.dot_general(
+        ln, dqkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbqkv_ref[:] += jnp.sum(dqkv.astype(jnp.float32), axis=0)
+    dln = jax.lax.dot_general(
+        dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Bb*S, W] fp32
+    dlns_ref[:] += jnp.sum(dln * xhat, axis=0)
+    dlnb_ref[:] += jnp.sum(dln, axis=0)
+    dxhat = dln * lns32
+    dx_ln = rstd * (
+        dxhat
+        - jnp.mean(dxhat, -1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, -1, keepdims=True)
+    )
+    dx_ref[:] = gyb + dx_ln.astype(xb.dtype)
 
 
-def _pallas_attn_sublayer_bwd(x, g, ln_p, attn_p, heads, causal, eps,
-                              block_b: int = 8, interpret: bool = False):
-    """Returns (dx, dln_p, dattn_p) with fp32 weight grads (param dtype)."""
-    B, S, W = x.shape
-    while B % block_b:
-        block_b //= 2
-    wqkv = attn_p["qkv"]["kernel"].astype(x.dtype)
-    wout = attn_p["out"]["kernel"].astype(x.dtype)
+def _pallas_attn_sublayer_bwd_flat(x2, g2, ln_p, attn_p, S, heads, causal,
+                                   eps, block_b: "int | None" = None,
+                                   interpret: bool = False):
+    """Returns (dx2, dln_p, dattn_p) with fp32 weight grads (param dtype);
+    dx2 is flat [N, W] like the inputs."""
+    N, W = x2.shape
+    B = N // S
+    if block_b is None:
+        block_b = _sublayer_block_b(B, S, want=4)
+    M = block_b * S
+    wqkv = attn_p["qkv"]["kernel"].astype(x2.dtype)
+    wout = attn_p["out"]["kernel"].astype(x2.dtype)
     const = lambda b: (0,)
     mat = lambda b: (0, 0)
     f32 = jnp.float32
     dx, dlns, dlnb, dwqkv, dbqkv, dwout, dbout = pl.pallas_call(
         functools.partial(_attn_sublayer_bwd_kernel, heads=heads, eps=eps,
-                          causal=causal, block_b=block_b),
+                          causal=causal, S=S),
         grid=(B // block_b,),
         in_specs=[
-            pl.BlockSpec((block_b, S, W), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, S, W), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, W), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, W), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((W, 3 * W), mat, memory_space=pltpu.VMEM),
@@ -691,8 +747,7 @@ def _pallas_attn_sublayer_bwd(x, g, ln_p, attn_p, heads, causal, eps,
             pl.BlockSpec((W, W), mat, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_b, S, W), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, W), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((W, 3 * W), mat, memory_space=pltpu.VMEM),
@@ -701,7 +756,7 @@ def _pallas_attn_sublayer_bwd(x, g, ln_p, attn_p, heads, causal, eps,
             pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, S, W), x.dtype),
+            jax.ShapeDtypeStruct((N, W), x2.dtype),
             jax.ShapeDtypeStruct((W,), f32),
             jax.ShapeDtypeStruct((W,), f32),
             jax.ShapeDtypeStruct((W, 3 * W), f32),
@@ -713,7 +768,8 @@ def _pallas_attn_sublayer_bwd(x, g, ln_p, attn_p, heads, causal, eps,
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(x, g, ln_p["scale"], ln_p["bias"], wqkv, attn_p["qkv"]["bias"], wout)
+    )(x2, g2, ln_p["scale"], ln_p["bias"],
+      wqkv, attn_p["qkv"]["bias"], wout)
     pdt = ln_p["scale"].dtype
     dln_p = {"scale": dlns.astype(pdt), "bias": dlnb.astype(pdt)}
     dattn_p = {
@@ -725,13 +781,25 @@ def _pallas_attn_sublayer_bwd(x, g, ln_p, attn_p, heads, causal, eps,
     return dx, dln_p, dattn_p
 
 
+def _pallas_attn_sublayer_bwd(x, g, ln_p, attn_p, heads, causal, eps,
+                              block_b: "int | None" = None,
+                              interpret: bool = False):
+    """[B, S, W] compatibility wrapper over the flat backward kernel."""
+    B, S, W = x.shape
+    dx, dln_p, dattn_p = _pallas_attn_sublayer_bwd_flat(
+        x.reshape(B * S, W), g.reshape(B * S, W), ln_p, attn_p, S, heads,
+        causal, eps, block_b=block_b, interpret=interpret)
+    return dx.reshape(B, S, W), dln_p, dattn_p
+
+
 def _sub_fwd(x, ln_p, attn_p, heads, causal, eps):
     return attention_sublayer(x, ln_p, attn_p, heads, causal, eps), (x, ln_p, attn_p)
 
 
 def _sub_bwd(heads, causal, eps, res, g):
     x, ln_p, attn_p = res
-    if _use_pallas() and x.shape[1] <= 128 and "kernel" in attn_p["qkv"]:
+    if (_use_pallas() and x.shape[1] <= 128 and "kernel" in attn_p["qkv"]
+            and _sublayer_block_b(x.shape[0], x.shape[1], 4) is not None):
         return _pallas_attn_sublayer_bwd(x, g, ln_p, attn_p, heads, causal, eps)
     _, vjp = jax.vjp(
         lambda a, b, c: _jnp_attn_sublayer(a, b, c, heads, causal, eps),
@@ -741,3 +809,65 @@ def _sub_bwd(heads, causal, eps, res, g):
 
 
 attention_sublayer.defvjp(_sub_fwd, _sub_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Flat-token sublayer entry point: [N = B*S, W] in/out, no per-layer reshapes.
+# The towers flatten ONCE before their scan and unflatten after
+# (models/layers.transformer) — on TPU a [B, 50, W] HBM buffer pads S to 56
+# sublane-tiles, so every [B,S,W]<->[N,W] reshape is a real relayout copy
+# (~2x39 MB/layer at ViT-B/32 b512) AND every elementwise/matmul op on the
+# 3D form drags ~12% padded bandwidth. Measured: the flat block-diag kernel
+# saved 2.1 ms/stack in isolation but nothing end-to-end until the tower
+# went flat.
+# ---------------------------------------------------------------------------
+
+
+def _flat_pallas_ok(N: int, S: int, attn_p) -> bool:
+    return (_use_pallas() and S <= 128 and "kernel" in attn_p["qkv"]
+            and _sublayer_block_b(N // S, S, 4) is not None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def attention_sublayer_flat(x2, ln_p, attn_p, S: int, heads: int,
+                            causal: bool = False, eps: float = 1e-5):
+    """``attention_sublayer`` on flat [N, W] tokens (N = B*S, batch-major).
+
+    Same dispatch rules as the 3D form; the jnp fallback reshapes to
+    [B, S, W] (free outside TPU tiled layouts) and runs the composed path."""
+    if _flat_pallas_ok(x2.shape[0], S, attn_p):
+        return _pallas_attn_sublayer_flat(x2, ln_p, attn_p, S, heads,
+                                          causal, eps)
+    N, W = x2.shape
+    out = _jnp_attn_sublayer(x2.reshape(N // S, S, W), ln_p, attn_p, heads,
+                             causal, eps)
+    return out.reshape(N, W)
+
+
+def _sub_flat_fwd(x2, ln_p, attn_p, S, heads, causal, eps):
+    return (attention_sublayer_flat(x2, ln_p, attn_p, S, heads, causal, eps),
+            (x2, ln_p, attn_p))
+
+
+def _sub_flat_bwd(S, heads, causal, eps, res, g):
+    x2, ln_p, attn_p = res
+    if _flat_pallas_ok(x2.shape[0], S, attn_p):
+        out = _pallas_attn_sublayer_bwd_flat(x2, g, ln_p, attn_p, S, heads,
+                                             causal, eps)
+        # Barrier between the kernel's weight-grad outputs and the scan's
+        # dynamic-update-slice accumulation: without it XLA fuses the DUS
+        # into the pallas-call fusion and the fused scoped allocation
+        # ([L, W, W] fp32 accumulator + kernel outputs) exceeds the 16 MB
+        # scoped-vmem limit at the text tower's W=512 (compile-time OOM).
+        return jax.lax.optimization_barrier(out)
+    N, W = x2.shape
+
+    def composed(a, b, c):
+        return _jnp_attn_sublayer(a.reshape(N // S, S, W), b, c, heads,
+                                  causal, eps).reshape(N, W)
+
+    _, vjp = jax.vjp(composed, x2, ln_p, attn_p)
+    return vjp(g)
+
+
+attention_sublayer_flat.defvjp(_sub_flat_fwd, _sub_flat_bwd)

@@ -269,3 +269,85 @@ def test_attention_sublayer_gradients():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Flat-token tower path ([B*S, W] scan, ops/attention.attention_sublayer_flat)
+# ---------------------------------------------------------------------------
+
+
+def _force_flat_interpret(monkeypatch):
+    """Route the flat sublayer (fwd + bwd) through the real Pallas kernels in
+    interpret mode on CPU, as the TPU flat tower path would."""
+    import functools
+    from plip_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_flat_pallas_ok", lambda *a: True)
+    monkeypatch.setattr(
+        A, "_pallas_attn_sublayer_flat",
+        functools.partial(A._pallas_attn_sublayer_flat, interpret=True))
+    monkeypatch.setattr(
+        A, "_pallas_attn_sublayer_bwd_flat",
+        functools.partial(A._pallas_attn_sublayer_bwd_flat, interpret=True))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flat_transformer_matches_composed(monkeypatch, causal):
+    """layers.transformer's flat scan (kernels in interpret mode) must equal
+    the composed 3D scan, values and gradients."""
+    from plip_tpu.models.layers import init_block_stack, transformer
+
+    B, S, W, H, L = 4, 10, 64, 4, 2
+    rng = np.random.default_rng(41)
+    stacked = init_block_stack(jax.random.PRNGKey(7), L, W)
+    x = jnp.asarray(rng.standard_normal((B, S, W)).astype(np.float32))
+
+    ref_l, ref_g = jax.value_and_grad(
+        lambda p: jnp.sum(transformer(x, p, H, causal) ** 2))(stacked)
+
+    _force_flat_interpret(monkeypatch)
+    out_l, out_g = jax.value_and_grad(
+        lambda p: jnp.sum(transformer(x, p, H, causal) ** 2))(stacked)
+
+    np.testing.assert_allclose(float(out_l), float(ref_l), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(out_g), jax.tree.leaves(ref_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-3)
+
+
+@pytest.mark.parametrize("remat", [False, True, "mlp"])
+def test_flat_transformer_remat_modes(monkeypatch, remat):
+    """remat scheduling must not change flat-path math."""
+    from plip_tpu.models.layers import init_block_stack, transformer
+
+    B, S, W, H, L = 4, 10, 64, 4, 2
+    rng = np.random.default_rng(42)
+    stacked = init_block_stack(jax.random.PRNGKey(8), L, W)
+    x = jnp.asarray(rng.standard_normal((B, S, W)).astype(np.float32))
+
+    ref = jax.grad(lambda p: jnp.sum(transformer(x, p, H, False) ** 2))(stacked)
+    _force_flat_interpret(monkeypatch)
+    g = jax.grad(
+        lambda p: jnp.sum(transformer(x, p, H, False, remat=remat) ** 2)
+    )(stacked)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-3)
+
+
+def test_sublayer_block_b_picker():
+    from plip_tpu.ops.attention import _sublayer_block_b
+
+    # S=50: needs bb multiple of 4; want=4 -> 4
+    assert _sublayer_block_b(512, 50, 4) == 4
+    # S=77 (text): smallest valid >= 4 is 8
+    assert _sublayer_block_b(512, 77, 4) == 8
+    # S already tile-aligned: want honored exactly
+    assert _sublayer_block_b(512, 64, 4) == 4
+    # no divisor works -> whole-array block when small enough
+    assert _sublayer_block_b(2, 77, 4) == 2
+    # ... but not when the whole array would blow VMEM (no divisor of 4
+    # aligns odd S=513, and 4*513 > 2048)
+    assert _sublayer_block_b(4, 513, 4) is None
+    # B=1 latency path: whole-array block
+    assert _sublayer_block_b(1, 50, 4) == 1
