@@ -494,6 +494,10 @@ def _attn_sublayer_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         logits = jnp.where(mask, logits, -jnp.inf)
         m = jnp.max(logits, -1, keepdims=True)
         p = jnp.exp(logits - m)
+        # NOTE deferring this divide past the PV dot (ctx = (exp@V)*inv)
+        # measured FASTER isolated (17.2 vs 17.9 ms/stack) but ~1.5% SLOWER
+        # end-to-end encode (14.5k vs 14.7k img/s) — kept as the exact
+        # normalize-first form.
         p = p / jnp.sum(p, -1, keepdims=True)
         ctx_cols.append(
             jnp.dot(p.astype(xb.dtype), v,
