@@ -31,11 +31,15 @@ def main():
     ids_np[:, 2] = 49407
     ids = jnp.asarray(ids_np)
 
+    import plip_tpu.ops.attention as A
+
     orig_block = L.block
+    orig_flat_ok = A._flat_pallas_ok
 
     def composed_block(x, p, heads, causal=False, eps=1e-5, act="quick_gelu",
-                       fused_sublayer=True):
-        return orig_block(x, p, heads, causal, eps, act, fused_sublayer=False)
+                       fused_sublayer=True, mlp_remat=False):
+        return orig_block(x, p, heads, causal, eps, act,
+                          fused_sublayer=False, mlp_remat=mlp_remat)
 
     dtype = jnp.float32 if "--fp32" in sys.argv else jnp.bfloat16
 
@@ -45,11 +49,16 @@ def main():
         return f(params)
 
     loss_f, g_f = grads()
+    # composed run: kill the flat-tower gate (the flat scan bypasses
+    # L.block entirely) AND the 3D fused sublayer, so the whole model takes
+    # the composed jnp path (Pallas attention core only)
     L.block = composed_block
+    A._flat_pallas_ok = lambda *a: False
     try:
         loss_c, g_c = grads()
     finally:
         L.block = orig_block
+        A._flat_pallas_ok = orig_flat_ok
 
     print(f"dtype={dtype.__name__} "
           f"loss fused={float(loss_f):.6f} composed={float(loss_c):.6f}")
@@ -67,13 +76,17 @@ def main():
     for cos, path, na, nb in rows[:12]:
         print(f"  cos={cos:+.6f} |f|={na:.3e} |c|={nb:.3e}  {path}")
     print(f"worst grad cosine: {rows[0][0]:.6f} at {rows[0][1]}")
-    # fp32: both paths share precision semantics -> near-exact (measured
-    # worst 0.99974, loss equal to 6 decimals). bf16: the fused kernel
-    # accumulates weight grads in fp32 while the composed path emits bf16
-    # dots, so small-bias leaves diverge by rounding (measured worst 0.9968
-    # with norms matching to 0.3% and loss to 4 decimals) — the fused path
-    # is the *more* accurate of the two.
-    assert rows[0][0] > (0.999 if dtype == jnp.float32 else 0.995), "grad mismatch"
+    # fp32: near-exact up to reduction order. The flat block-diag kernels
+    # (round 2) accumulate dW across 4-row grid programs and run LN over
+    # flat [B*S] token rows, so fp32 rounding differs slightly more than the
+    # old per-row kernels (worst 0.9984 at text.ln_final.bias, a norm-1.6e-3
+    # leaf — absolute diff ~9e-5; loss equal to 5 decimals; every leaf with
+    # norm > 5e-3 is >= 0.9995). bf16: the fused kernel accumulates weight
+    # grads in fp32 while the composed path emits bf16 dots, so small-bias
+    # leaves diverge by rounding (measured worst 0.9968 with norms matching
+    # to 0.3% and loss to 4 decimals) — the fused path is the *more*
+    # accurate of the two.
+    assert rows[0][0] > (0.998 if dtype == jnp.float32 else 0.995), "grad mismatch"
     print("OK")
 
 
