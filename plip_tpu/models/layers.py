@@ -170,6 +170,13 @@ def transformer(
     B, S, W = x.shape
     first = jax.tree.map(lambda a: a[0], stacked["attn"])
     if _flat_pallas_ok(B * S, S, first):
+        # The MLP half deliberately stays XLA in BOTH passes. The fused MLP
+        # backward kernel (ops/mlp.py) wins 24% ISOLATED (46.3 vs 61.3
+        # ms/stack at its best block_b=16) but loses ~2% in the full train
+        # step (2,131-2,156 vs 2,191 pairs/s): XLA overlaps the MLP's HBM
+        # traffic with the adjacent attention kernels' execution, which
+        # back-to-back Pallas calls cannot. Same pattern as the fused MLP
+        # forward and whole-block kernels (PERF.md).
         def body(h, p):
             h = attention_sublayer_flat(h, p["ln1"], p["attn"], S, heads,
                                         causal, eps)
