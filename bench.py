@@ -134,8 +134,10 @@ def main():
         return
 
     on_cpu = jax.default_backend() == "cpu"
+    # 256 is the flat-kernel sweet spot on v5e: 15,020 img/s vs 14,705 at
+    # 512, 14,842 at 1024, 14,135 at 128, 14,685 at 384 (PERF.md round 2)
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else (
-        16 if on_cpu else 512
+        16 if on_cpu else 256
     )
     iters = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else (
         2 if on_cpu else 30
