@@ -90,6 +90,9 @@ class PLIP:
         quantize: Optional[str] = None,
     ):
         del auth_token  # parity-only
+        if quantize is not None and quantize != "w8a8":
+            # validate before the (expensive) weight init / mesh sharding
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         self.model_name = model_name
         self.dtype = dtype
         self.params, self.cfg = self._load_model(model_name)
@@ -106,14 +109,17 @@ class PLIP:
             # after mesh placement: shard_params' spec tree matches the fp32
             # structure, and the int8 kernels inherit the tp sharding of the
             # fp32 kernels they're derived from
-            if quantize != "w8a8":
-                raise ValueError(f"unknown quantize mode {quantize!r}")
             if self.cfg.vision.width < 1024:
                 warnings.warn(
                     "quantize='w8a8' measured slower than bf16 below ViT-L/14 "
                     "width (PERF.md); keeping the bf16 path."
                 )
             else:
+                # Quantize the VISUAL blocks only: the measured +14% is the
+                # image tower (S=257, composed path, wide matmuls). The L/14
+                # text tower (S=77, width 768) is fused-sublayer eligible —
+                # quantizing it would kick encode_text onto composed W8A8,
+                # an unmeasured path, for ~no FLOP share. ops/quant.py.
                 from .ops.quant import quantize_block_linears
 
                 self.params = {
@@ -121,9 +127,6 @@ class PLIP:
                     "visual": {**self.params["visual"],
                                "blocks": quantize_block_linears(
                                    self.params["visual"]["blocks"])},
-                    "text": {**self.params["text"],
-                             "blocks": quantize_block_linears(
-                                 self.params["text"]["blocks"])},
                 }
 
         cfg = self.cfg
@@ -187,17 +190,25 @@ class PLIP:
 
         decode_mode="fast" (default): when every input is a JPEG path and the
         native pool is built, whole batches decode through the C++
-        ``decode_batch_fixed`` fast lane — libjpeg DCT scaling (decodes ~M/8
-        of the pixels for large images) + threaded shortest-side resize +
-        center crop straight into one fixed [B, 224, 224, 3] buffer, with
-        per-slot PIL fallback for non-JPEG/corrupt files. For pre-tiled
-        224x224 datasets (all the reference's validation sets) the fast lane
-        is BIT-EXACT (no resampling happens); for larger images the host
-        bilinear resample deviates slightly from the PIL-bicubic contract
-        (documented, tested to cosine > 0.995 on natural images).
+        ``decode_batch_fixed`` fast lane — libjpeg decode + threaded resize
+        straight into one fixed [B, 224, 224, 3] buffer, with per-slot PIL
+        fallback for non-JPEG/corrupt files. For pre-tiled 224x224 datasets
+        (all the reference's validation sets) the fast lane is BIT-EXACT (no
+        resampling happens). Slots the native decoder had to RESAMPLE
+        (source dims != 224²) are detected per batch and re-decoded with
+        PIL's bicubic — the exact geometry of the reference transform
+        (`/root/reference/reproducibility/embedders/transform.py:45-52`) —
+        so non-tiled data can never silently miss the 0.999-cosine contract.
 
-        decode_mode="exact": per-item full-resolution decode + the device-side
-        PIL-quantization-exact bicubic pipeline (the fidelity reference).
+        decode_mode="fast_approx": keep the native DCT-scaling + host
+        bilinear result for resampled slots (cosine > 0.995 on natural
+        images, documented approximation) — maximum host throughput for
+        callers that opt out of exactness. Warns once per call batch when
+        resampling actually occurred.
+
+        decode_mode="exact": per-item full-resolution decode + the
+        device-side PIL-quantization-exact bicubic pipeline (the fidelity
+        reference).
 
         Either way host decode overlaps device compute — the reference decodes
         synchronously on the main thread (plip.py:44, no workers).
@@ -207,14 +218,17 @@ class PLIP:
         from . import native
 
         if (
-            decode_mode == "fast"
+            decode_mode in ("fast", "fast_approx")
             and native.available()
             and all(
                 isinstance(im, str) and im.lower().endswith((".jpg", ".jpeg"))
                 for im in images
             )
         ):
-            return self._encode_images_fast(list(images), batch_size, num_workers)
+            return self._encode_images_fast(
+                list(images), batch_size, num_workers,
+                exact_resample=decode_mode == "fast",
+            )
         return self._encode_images_exact(list(images), batch_size, num_workers)
 
     def _encode_images_exact(self, images, batch_size, num_workers):
@@ -241,10 +255,18 @@ class PLIP:
             outs.append(np.asarray(emb)[:n])
         return np.concatenate(outs, axis=0)
 
-    def _encode_images_fast(self, paths, batch_size, num_workers):
+    def _encode_images_fast(self, paths, batch_size, num_workers,
+                            exact_resample: bool = True):
         """decode_batch_fixed fast lane (VERDICT r1 #6): batched C++ decode
         into the device-native [B, 224, 224, 3] uint8 layout, double-buffered
-        against device compute; failed slots re-decode via PIL."""
+        against device compute; failed slots re-decode via PIL.
+
+        ``exact_resample`` (the ``decode_mode="fast"`` contract): slots the
+        native decoder resampled (status == 1 — source dims != target, so
+        the approximate DCT-scaling + bilinear path ran) are re-decoded with
+        PIL bicubic, the reference transform's exact geometry. Disabled by
+        ``decode_mode="fast_approx"``, which instead warns once per call
+        that resampling occurred."""
         import concurrent.futures
 
         from . import native
@@ -253,14 +275,23 @@ class PLIP:
 
         n_px = self.cfg.vision.image_size
         batch_size = self._effective_batch(batch_size)
+        warned = [False]
 
         def decode(chunk):
             batch, status = native.decode_batch_fixed(
                 chunk, shorter=n_px, crop=n_px, threads=num_workers
             )
             for i, rc in enumerate(status):
-                if rc != 0:
+                if rc < 0 or (rc == 1 and exact_resample):
                     batch[i] = _pil_fixed(chunk[i], n_px)
+            if not exact_resample and not warned[0] and (status == 1).any():
+                warned[0] = True
+                warnings.warn(
+                    "decode_mode='fast_approx' resampled non-224x224 inputs "
+                    "with the approximate bilinear path (cosine > 0.995, "
+                    "below the 0.999 contract); use decode_mode='fast' or "
+                    "'exact' for bicubic-exact embeddings."
+                )
             return batch
 
         outs = []

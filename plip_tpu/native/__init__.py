@@ -101,8 +101,12 @@ def decode_batch_fixed(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Decode+resize+crop a batch into [n, crop, crop, 3] uint8.
 
-    Returns (batch, status). status[i] != 0 marks a failed slot (zero-filled);
-    callers re-decode those via PIL.
+    Returns (batch, status). status[i] == 0: bit-exact (the source was
+    already crop x crop, nothing was resampled); status[i] == 1: decoded OK
+    but RESAMPLED (DCT scaling / host bilinear ran — approximate vs the
+    PIL-bicubic contract, so fidelity-sensitive callers should re-decode the
+    slot exactly); status[i] < 0: failed (slot zero-filled, re-decode via
+    PIL).
     """
     lib = load()
     if lib is None:

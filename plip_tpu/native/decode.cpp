@@ -102,7 +102,8 @@ int ptn_decode_file(const char* path, uint8_t* out, long cap, int* out_w,
 // Decode into a growable vector sized exactly from the JPEG header (avoids
 // the cost of zero-initializing a large fixed scratch per call).
 static int decode_into_vector(const char* path, std::vector<uint8_t>& buf,
-                              int* out_w, int* out_h, int scale_shorter) {
+                              int* out_w, int* out_h, int scale_shorter,
+                              int* orig_w = nullptr, int* orig_h = nullptr) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   jpeg_decompress_struct cinfo;
@@ -117,6 +118,8 @@ static int decode_into_vector(const char* path, std::vector<uint8_t>& buf,
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
+  if (orig_w) *orig_w = cinfo.image_width;
+  if (orig_h) *orig_h = cinfo.image_height;
   cinfo.out_color_space = JCS_RGB;
   if (scale_shorter > 0) {
     int shorter = cinfo.image_width < cinfo.image_height ? cinfo.image_width
@@ -192,8 +195,12 @@ static void resize_center_crop(const uint8_t* src, int sw, int sh,
 }
 
 // Decode n JPEGs into out[n, crop, crop, 3] using `threads` workers.
-// status[i] = 0 on success, negative error code otherwise (failed slots are
-// zero-filled; the caller decides whether to skip or retry via PIL).
+// status[i] = 0 on bit-exact success (source was already crop x crop, no
+// resampling happened), 1 on success WITH resampling (DCT scaling and/or the
+// host bilinear resize ran — approximate vs the PIL-bicubic contract,
+// reproducibility/embedders/transform.py:45-52), negative error code
+// otherwise (failed slots are zero-filled; the caller decides whether to
+// skip or retry via PIL).
 int ptn_decode_batch_fixed(const char** paths, int n, int shorter, int crop,
                            uint8_t* out, int* status, int threads) {
   if (threads <= 0) threads = std::thread::hardware_concurrency();
@@ -205,15 +212,20 @@ int ptn_decode_batch_fixed(const char** paths, int n, int shorter, int crop,
     std::vector<uint8_t> scratch;
     int i;
     while ((i = next.fetch_add(1)) < n) {
-      int w = 0, h = 0;
-      int rc = decode_into_vector(paths[i], scratch, &w, &h, shorter);
+      int w = 0, h = 0, ow = 0, oh = 0;
+      int rc = decode_into_vector(paths[i], scratch, &w, &h, shorter, &ow, &oh);
       status[i] = rc;
       uint8_t* dst = out + (long)i * slot;
       if (rc == 0) {
         if (w == crop && h == crop) {
-          memcpy(dst, scratch.data(), slot);  // already target-sized tile
+          memcpy(dst, scratch.data(), slot);
+          // DCT scaling can land exactly on crop x crop (e.g. 256 -> 7/8 ->
+          // 224): the tile is target-sized but was still RESAMPLED. Only a
+          // source that was crop x crop in the header is bit-exact.
+          if (ow != crop || oh != crop) status[i] = 1;
         } else {
           resize_center_crop(scratch.data(), w, h, dst, shorter, crop);
+          status[i] = 1;  // resampled: approximate vs the bicubic contract
         }
       } else {
         memset(dst, 0, slot);
@@ -228,6 +240,6 @@ int ptn_decode_batch_fixed(const char** paths, int n, int shorter, int crop,
   return 0;
 }
 
-int ptn_version() { return 1; }
+int ptn_version() { return 2; }
 
 }  // extern "C"

@@ -177,3 +177,58 @@ def test_save_roundtrip(model, tmp_path):
     a = model.encode_text(["benign"], batch_size=1)
     b = reloaded.encode_text(["benign"], batch_size=1)
     np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Fast-lane fidelity guard (VERDICT r2 #5): decode_mode="fast" must auto-route
+# resampled slots to the exact PIL-bicubic geometry; "fast_approx" keeps the
+# native bilinear but warns; pre-tiled 224x224 data is bit-exact and silent.
+# ---------------------------------------------------------------------------
+
+
+def _native_or_skip():
+    from plip_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+
+
+def test_fast_lane_resample_guard_exact(model, images):
+    """Non-224 JPEGs through decode_mode='fast' must match feeding the
+    PIL-bicubic-exact pixels directly (the reference transform geometry,
+    reproducibility/embedders/transform.py:45-52)."""
+    _native_or_skip()
+    from plip_tpu.api import _pil_fixed
+
+    emb_fast = model.encode_images(images, batch_size=4, decode_mode="fast")
+    ref_px = [_pil_fixed(p, 224) for p in images]
+    emb_ref = model.encode_images(ref_px, batch_size=4)
+    np.testing.assert_allclose(emb_fast, emb_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fast_approx_warns_on_resample(model, images):
+    _native_or_skip()
+    with pytest.warns(UserWarning, match="fast_approx"):
+        model.encode_images(images[:4], batch_size=4, decode_mode="fast_approx")
+
+
+def test_fast_lane_pretiled_silent_and_exact(model, tmp_path):
+    """Pre-tiled 224² JPEGs: no resampling happens, both fast modes are
+    bit-identical and warning-free."""
+    _native_or_skip()
+    import warnings as _w
+
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(4):
+        arr = rng.integers(0, 256, (224, 224, 3), dtype=np.uint8)
+        p = str(tmp_path / f"t_{i}.jpg")
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(p)
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)
+        emb_a = model.encode_images(paths, batch_size=4, decode_mode="fast_approx")
+        emb_f = model.encode_images(paths, batch_size=4, decode_mode="fast")
+    np.testing.assert_array_equal(emb_a, emb_f)

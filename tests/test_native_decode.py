@@ -47,7 +47,11 @@ def test_decode_batch_fixed(jpegs):
     paths, _ = jpegs
     batch, status = native.decode_batch_fixed(paths * 4, shorter=224, crop=224)
     assert batch.shape == (12, 224, 224, 3)
-    assert (status == 0).all()
+    # status contract (v2): 0 = bit-exact (source already 224x224),
+    # 1 = decoded but RESAMPLED, <0 = failure
+    assert (status >= 0).all()
+    expected = np.array([0, 1, 1] * 4, np.int32)  # fixture shapes 224/300x400/512
+    np.testing.assert_array_equal(status, expected)
     assert batch.std() > 10  # actual image content
 
 
@@ -55,7 +59,7 @@ def test_decode_batch_failure_slot(jpegs, tmp_path):
     paths, _ = jpegs
     bad = str(tmp_path / "nope.jpg")
     batch, status = native.decode_batch_fixed([paths[0], bad], crop=64)
-    assert status[0] == 0 and status[1] != 0
+    assert status[0] == 1 and status[1] < 0  # resampled ok / failed
     assert (batch[1] == 0).all()
 
 
