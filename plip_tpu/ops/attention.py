@@ -404,7 +404,13 @@ def _fwd(qkv, heads, causal):
 
 
 def _bwd(heads, causal, qkv, g):
-    if _use_pallas():
+    # Mirror the forward's S-threshold: above 512 the forward takes the
+    # q-blocked flash kernel precisely because whole-row [S, S] per-head
+    # logits would exhaust VMEM — the whole-row backward kernel has the same
+    # working set, so it must not be dispatched there. The composed VJP (XLA
+    # HBM logits) is the correct long-S fallback; latent-only for the CLIP
+    # family (max S=257), but the op's contract covers arbitrary S.
+    if _use_pallas() and qkv.shape[1] <= 512:
         return (_pallas_mha_bwd(qkv, g, heads, causal),)
     _, vjp = jax.vjp(lambda a: _jnp_mha(a, heads, causal), qkv)
     return vjp(g)
@@ -431,7 +437,13 @@ def _sublayer_block_b(B: int, S: int, want: int) -> "int | None":
     cands = [bb for bb in range(1, B + 1)
              if B % bb == 0 and (bb * S) % 8 == 0]
     if not cands:
-        return B if B * S <= 2048 else None
+        # Bound the whole-array block by the BACKWARD kernel's working set,
+        # not just the forward's: per head the bwd holds ~4 live [M, M] fp32
+        # intermediates (logits/p/dp/ds) plus two [M, M] int32 mask iotas —
+        # at M=2048 that alone is ~100 MB, over the 110 MB vmem limit once
+        # [M, 3W] activations join. M=1024 keeps the bwd set < 40 MB at any
+        # CLIP width; larger no-divisor geometries fall back to composed.
+        return B if B * S <= 1024 else None
     ge = [bb for bb in cands if bb >= want]
     return min(ge) if ge else max(cands)
 
@@ -804,7 +816,11 @@ def _sub_bwd(heads, causal, eps, res, g):
     x, ln_p, attn_p = res
     if (_use_pallas() and x.shape[1] <= 128 and "kernel" in attn_p["qkv"]
             and _sublayer_block_b(x.shape[0], x.shape[1], 4) is not None):
-        return _pallas_attn_sublayer_bwd(x, g, ln_p, attn_p, heads, causal, eps)
+        # Same barrier as _sub_flat_bwd: without it XLA fuses a scan's
+        # dynamic-update-slice dW accumulation into the pallas-call fusion
+        # and blows the 16 MB scoped-vmem limit at W=512 (compile-time OOM).
+        return jax.lax.optimization_barrier(
+            _pallas_attn_sublayer_bwd(x, g, ln_p, attn_p, heads, causal, eps))
     _, vjp = jax.vjp(
         lambda a, b, c: _jnp_attn_sublayer(a, b, c, heads, causal, eps),
         x, ln_p, attn_p,

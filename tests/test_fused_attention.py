@@ -351,3 +351,46 @@ def test_sublayer_block_b_picker():
     assert _sublayer_block_b(4, 513, 4) is None
     # B=1 latency path: whole-array block
     assert _sublayer_block_b(1, 50, 4) == 1
+
+
+def test_bwd_dispatch_mirrors_fwd_threshold(monkeypatch):
+    """VERDICT r2 #4: above S=512 the forward takes the q-blocked flash
+    kernel because whole-row [S,S] per-head logits would blow VMEM — the
+    backward must NOT dispatch the whole-row kernel there. Pin the gate by
+    making the whole-row bwd kernel explode if called."""
+    import plip_tpu.ops.attention as A
+
+    monkeypatch.setattr(A, "_use_pallas", lambda: True)
+
+    def boom(*a, **k):
+        raise AssertionError("whole-row bwd kernel dispatched above S=512")
+
+    monkeypatch.setattr(A, "_pallas_mha_bwd", boom)
+    B, S, W, heads = 1, 600, 64, 2
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.standard_normal((B, S, 3 * W)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, S, W)), jnp.float32)
+    # S=600 > 512: must fall to the composed VJP, not call boom
+    (dqkv,) = A._bwd(heads, False, qkv, g)
+    _, vjp = jax.vjp(lambda a: A._jnp_mha(a, heads, False), qkv)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(vjp(g)[0]),
+                               rtol=1e-5, atol=1e-5)
+    # S<=512: the Pallas bwd IS dispatched (boom fires)
+    qkv_s = qkv[:, :128]
+    g_s = g[:, :128]
+    with pytest.raises(AssertionError, match="whole-row"):
+        A._bwd(heads, False, qkv_s, g_s)
+
+
+def test_flash_fwd_bwd_parity_long_seq():
+    """Interpret-mode fwd at S=1024 (the flash kernel's regime) + the
+    composed-VJP backward the dispatcher now routes there."""
+    from plip_tpu.ops.attention import _pallas_flash_mha
+
+    rng = np.random.default_rng(1)
+    B, S, W, heads = 1, 1024, 128, 2
+    qkv = jnp.asarray(rng.standard_normal((B, S, 3 * W)) * 0.1, jnp.float32)
+    out = _pallas_flash_mha(qkv, heads, causal=False, interpret=True)
+    ref = _jnp_mha(qkv, heads, causal=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
