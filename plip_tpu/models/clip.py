@@ -165,7 +165,12 @@ def encode_text(
     return out.astype(jnp.float32)
 
 
-def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """L2-normalize with torch ``F.normalize`` semantics (eps=1e-12 floor on
+    the norm): a zero embedding — e.g. an all-black padded image through a
+    zero-bias path — yields a zero output instead of NaN logits in
+    ``forward``. Contract: the normalize behind
+    `/root/reference/reproducibility/training_model/clip.py:178-189`."""
     n = jnp.linalg.norm(x, axis=axis, keepdims=True)
     if eps:
         n = jnp.maximum(n, eps)

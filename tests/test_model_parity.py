@@ -224,3 +224,19 @@ def test_init_and_shapes():
     txt = jclip.encode_text(params, ids, cfg)
     assert img.shape == (2, cfg.embed_dim)
     assert txt.shape == (2, cfg.embed_dim)
+
+
+def test_l2_normalize_zero_safe():
+    """torch F.normalize parity (eps=1e-12): a zero embedding must produce a
+    zero row, not NaN logits, through l2_normalize and forward."""
+    import jax.numpy as jnp
+
+    from plip_tpu.models.clip import l2_normalize
+
+    z = l2_normalize(jnp.zeros((2, 8)))
+    assert np.isfinite(np.asarray(z)).all()
+    np.testing.assert_array_equal(np.asarray(z), np.zeros((2, 8), np.float32))
+    # non-zero rows unaffected
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, 8)), jnp.float32)
+    n = np.linalg.norm(np.asarray(l2_normalize(x)), axis=-1)
+    np.testing.assert_allclose(n, 1.0, rtol=1e-6)
