@@ -11,9 +11,12 @@ per-row int8 activations with int32 MXU accumulation are
 Inference-only: quantized params are a frozen transform of the fp32 tree
 (`quantize_block_linears`), and `layers.linear` dispatches on the presence
 of ``kernel_q``. The fused attention-sublayer kernel does not consume
-quantized params, but the dispatch never collides: quantization is only
-profitable at L/14-class widths whose S=257 takes the composed path anyway
-(the fused kernel is gated to S<=128).
+quantized params, so the API quantizes only the VISUAL blocks at L/14: its
+S=257 image tower takes the composed path anyway (fused kernel gated to
+S<=128), which is exactly where the +14% was measured. The L/14 TEXT tower
+(S=77) is fused-eligible and stays bf16 — quantizing it would move
+encode_text onto the composed W8A8 path, whose speed vs the fused bf16
+kernel is unmeasured, for a tower holding a tiny share of total FLOPs.
 
 Replaces nothing in the reference (it has no quantized path — this is part
 of "beat on perf", SURVEY.md §6).

@@ -111,3 +111,15 @@ def test_api_quantize_applies_at_l14_width():
     emb = p.encode_images(
         [np.zeros((224, 224, 3), np.uint8)], batch_size=1)
     assert np.isfinite(emb).all()
+
+
+def test_api_quantize_visual_only():
+    """ADVICE r2: the +14% W8A8 measurement is image-encode only; the L/14
+    text tower (S=77, fused-sublayer eligible) must stay bf16/fp32 so
+    encode_text keeps the measured fused kernel path."""
+    from plip_tpu.api import PLIP
+
+    p = PLIP(model_name="random:ViT-L/14", quantize="w8a8")
+    assert "kernel_q" in p.params["visual"]["blocks"]["attn"]["qkv"]
+    assert "kernel" in p.params["text"]["blocks"]["attn"]["qkv"]
+    assert "kernel_q" not in p.params["text"]["blocks"]["attn"]["qkv"]
