@@ -30,11 +30,11 @@ def initialize(
     Safe to call in single-process runs (no-ops when there is nothing to
     coordinate and no env configuration is present).
     """
-    try:
-        if jax.process_count() > 1:
-            return True
-    except Exception:
-        pass
+    # NB: never probe jax.process_count() here — it initializes the XLA
+    # backend, after which jax.distributed.initialize() hard-fails ("must be
+    # called before any JAX calls"). is_initialized() is side-effect free.
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     kwargs = {}
     if coordinator_address:
         kwargs = dict(
@@ -46,7 +46,9 @@ def initialize(
         jax.distributed.initialize(**kwargs)
         return jax.process_count() > 1
     except (RuntimeError, ValueError):
-        # single-process / already initialized / no coordination env
+        if kwargs:
+            raise  # caller explicitly asked for multi-process: surface it
+        # env-driven probe on a single-process run: nothing to coordinate
         return False
 
 

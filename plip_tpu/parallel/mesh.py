@@ -105,4 +105,17 @@ def shard_params(params: Params, mesh: Mesh) -> Params:
 
 
 def shard_batch(batch, mesh: Mesh):
-    return jax.tree.map(lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
+    """Place a batch tree with the leading dim sharded over ``dp``.
+
+    Single-process: a plain device_put. Multi-process (pods): each process
+    passes only its LOCAL slice of the global batch (see
+    ``distributed.local_batch_slice``) and the global array is assembled
+    from the per-process shards — data never leaves the host that loaded it.
+    """
+    sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch,
+        )
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -99,10 +99,25 @@ class CLIPTuner:
 
     def valid_evaluation(self, validation_loader) -> float:
         """Sum of per-batch mean InfoNCE losses (clip.py:120-146)."""
+        import jax as _jax
+
         total = 0.0
+        multi = _jax.process_count() > 1
         for (images, captions), n in validation_loader:
+            if multi:
+                # every process embeds its own slice; the sharded loss is
+                # global, so each process sees the same scalar
+                from ..parallel.distributed import local_batch_slice
+
+                sl = local_batch_slice(n)
+                images, captions = images[sl], list(captions)[sl]
+                n = len(images)
             pixels = preprocess_images(list(images[:n]))
             ids = self._tokenize(captions[:n])
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                pixels, ids = shard_batch((pixels, ids), self.mesh)
             loss, _ = self._eval_loss(self.state.params, pixels, ids)
             total += float(loss)
         return total
@@ -168,11 +183,24 @@ class CLIPTuner:
                 train_ds, batch_size, num_workers=num_workers, device_put=False
             )
             train_loss_this_epoch = 0.0
+            multi = jax.process_count() > 1
             for i, ((images, captions), n) in enumerate(train_loader):
                 if n < batch_size:
                     continue  # InfoNCE over arange labels needs full batches
                 step = num_batches_per_epoch * epoch + i
                 key, sub = jax.random.split(key)
+                if multi:
+                    # Pod wiring: each process decodes/augments only its
+                    # slice of the globally-ordered batch; shard_batch then
+                    # assembles the global dp-sharded array from the local
+                    # shards (parallel/mesh.py). The aug key is decorrelated
+                    # per process (different images need different draws).
+                    from ..parallel.distributed import local_batch_slice
+
+                    sl = local_batch_slice(batch_size)
+                    images = images[sl]
+                    captions = list(captions)[sl]
+                    sub = jax.random.fold_in(sub, jax.process_index())
                 pixels = augment_batch(sub, jnp.asarray(images), self.aug_cfg)
                 if self.mesh is not None:
                     from ..parallel.mesh import shard_batch
@@ -212,9 +240,13 @@ class CLIPTuner:
             if save_full_state:
                 from .contrastive import save_train_state
 
-                save_train_state(ckpt_path, self.state, cfg)
+                save_train_state(ckpt_path, self.state, cfg)  # process-0 write
             else:
-                save_checkpoint(ckpt_path, jax.device_get(self.state.params), cfg)
+                from .contrastive import gather_to_host
+
+                params_host = gather_to_host(self.state.params)
+                if jax.process_index() == 0:
+                    save_checkpoint(ckpt_path, params_host, cfg)
 
         self.params = self.state.params
         return f"_{start_time}_model.npz"

@@ -99,16 +99,40 @@ def init_train_state(
     )
 
 
+def gather_to_host(tree):
+    """Fetch a (possibly multi-host-sharded) pytree as global numpy arrays.
+
+    Single-process: plain device_get. Multi-process: every process must call
+    this (the all-gather is a collective); each receives the full global
+    value, so callers can then write from process 0 only."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return jax.tree.map(
+            lambda x: multihost_utils.process_allgather(x, tiled=True), tree
+        )
+    return jax.device_get(tree)
+
+
 def save_train_state(path: str, state: TrainState, cfg: CLIPConfig) -> None:
     """Full checkpoint: params + optimizer state + step — enables resume,
     which the reference cannot do (SURVEY.md §5: torch.save of model
-    state_dict only, no optimizer/step)."""
+    state_dict only, no optimizer/step).
+
+    Multi-host safe: params/opt-state are gathered collectively (so every
+    process participates) and only process 0 touches the filesystem — a
+    naive per-process torch.save-style write would have every host clobber
+    the same file on shared storage."""
     import numpy as np
 
     from ..utils.checkpoint import save_checkpoint
 
-    save_checkpoint(path, jax.device_get(state.params), cfg)
-    flat_opt, treedef = jax.tree.flatten(jax.device_get(state.opt_state))
+    params = gather_to_host(state.params)
+    opt = gather_to_host(state.opt_state)
+    if jax.process_index() != 0:
+        return
+    save_checkpoint(path, params, cfg)
+    flat_opt, treedef = jax.tree.flatten(opt)
     np.savez(
         path + ".opt",
         __step__=np.asarray(state.step),
