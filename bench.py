@@ -20,6 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 import jax
+
+from plip_tpu.utils.compile_cache import enable_from_env
+
+enable_from_env()  # PLIP_TPU_COMPILE_CACHE=1 skips the ~3 min cold compile
+
 import jax.numpy as jnp
 
 BASELINE_IMG_PER_SEC = 5000.0

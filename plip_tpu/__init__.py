@@ -9,6 +9,17 @@ probing, retrieval, fine-tuning), and mesh-parallel training.
 
 __version__ = "0.1.0"
 
+# Opt-in persistent XLA compile cache (PLIP_TPU_COMPILE_CACHE=1 or =/dir):
+# on the remote-compile axon backend a warm cache turns ~3 min cold encode
+# compiles (and ~10 min Mosaic bwd compiles) into seconds. Env-gated, so a
+# bare import stays side-effect free.
+import os as _os
+
+if _os.environ.get("PLIP_TPU_COMPILE_CACHE"):
+    from .utils.compile_cache import enable_from_env as _ecc
+
+    _ecc()
+
 
 def __getattr__(name):
     # lazy top-level conveniences (keep bare `import plip_tpu` light)
