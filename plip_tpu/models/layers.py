@@ -169,7 +169,46 @@ def transformer(
 
     B, S, W = x.shape
     first = jax.tree.map(lambda a: a[0], stacked["attn"])
-    if _flat_pallas_ok(B * S, S, first):
+
+    # Long/odd-S geometries (ViT-B/16's 197, ViT-L/14's 257) have no legal
+    # flat block unpadded; padding the token dim to a multiple of 8 reopens
+    # the fused path with block_b=1 and `s_valid` masking pad columns out of
+    # attention — real-token outputs are bit-exact vs the unpadded sequence
+    # (ops/attention._blockdiag_mask), and the pad rows' grads are exactly
+    # zero, so weight grads are unpolluted. Measured-optimal short-S paths
+    # (50, 80) are untouched: padding only happens when the unpadded gate
+    # fails.
+    S_run, s_valid = S, None
+    if not _flat_pallas_ok(B * S, S, first):
+        S_pad = -(-S // 8) * 8
+        if _flat_pallas_ok(B * S_pad, S_pad, first):
+            S_run, s_valid = S_pad, S
+
+    def _flatten(h):
+        if s_valid is not None:
+            h = jnp.pad(h, ((0, 0), (0, S_run - S), (0, 0)))
+        return h.reshape(B * S_run, W)
+
+    def _unflatten(h2):
+        h = h2.reshape(B, S_run, W)
+        return h if s_valid is None else h[:, :S]
+
+    if remat == "block":
+        # Whole-block custom VJP (ops/block_bwd.py): forward is the same
+        # fused-attn + XLA-MLP split as below; backward is ONE Pallas kernel
+        # per batch-block owning both halves (VERDICT r2 #1). Saves only the
+        # block input per layer — less memory than remat="mlp". Off-TPU (or
+        # non-quick-gelu / int8) block_flat itself falls back to the
+        # composed VJP, so the policy is valid everywhere.
+        from ..ops.block_bwd import block_flat
+
+        def body(h, p):
+            return block_flat(h, p, S_run, heads, causal, eps, act,
+                              s_valid), None
+
+        out, _ = jax.lax.scan(body, _flatten(x), stacked)
+        return _unflatten(out)
+    if _flat_pallas_ok(B * S_run, S_run, first):
         # The MLP half deliberately stays XLA in BOTH passes. The fused MLP
         # backward kernel (ops/mlp.py) wins 24% ISOLATED (46.3 vs 61.3
         # ms/stack at its best block_b=16) but loses ~2% in the full train
@@ -178,8 +217,8 @@ def transformer(
         # back-to-back Pallas calls cannot. Same pattern as the fused MLP
         # forward and whole-block kernels (PERF.md).
         def body(h, p):
-            h = attention_sublayer_flat(h, p["ln1"], p["attn"], S, heads,
-                                        causal, eps)
+            h = attention_sublayer_flat(h, p["ln1"], p["attn"], S_run, heads,
+                                        causal, eps, s_valid)
             half = lambda a, ln2, pm: a + mlp(layer_norm(a, ln2, eps), pm, act)
             if remat == "mlp":
                 half = jax.checkpoint(half)
@@ -187,8 +226,8 @@ def transformer(
 
         if remat is True:
             body = jax.checkpoint(body)
-        out, _ = jax.lax.scan(body, x.reshape(B * S, W), stacked)
-        return out.reshape(B, S, W)
+        out, _ = jax.lax.scan(body, _flatten(x), stacked)
+        return _unflatten(out)
 
     def body(h, layer_params):
         return block(h, layer_params, heads, causal, eps, act,
