@@ -428,41 +428,58 @@ fused_attention.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 
 
+_MAX_FLAT_M = 1024  # [M, M] bwd working-set bound (see picker docstring)
+
+
+def _flat_want(S: int) -> int:
+    """Preferred block_b by sequence length: 4 (M=200 at ViT-B/32) measured
+    best for the short-S CLIP towers; above 128 tokens the block-diagonal
+    core's wasted FLOPs (∝ block_b of a core that is no longer small) and
+    the [M, M] working set both say run one batch row per program."""
+    return 4 if S <= 128 else 1
+
+
 def _sublayer_block_b(B: int, S: int, want: int) -> "int | None":
     """Pick block_b for the flat-token sublayer kernels: needs ``B % bb == 0``
     and ``(bb*S) % 8 == 0`` (Mosaic sublane divisibility), except ``bb == B``
-    where the block equals the whole array (always legal). Returns None when
-    only the whole-array block would work but it is too big to hold the
-    [M, M] logits in VMEM — callers then fall back to the composed path."""
+    where the block equals the whole array (always legal). Candidates are
+    capped at ``bb*S <= _MAX_FLAT_M``: the BACKWARD kernel holds ~4 live
+    [M, M] fp32 intermediates (logits/p/dp/ds) per head plus two [M, M]
+    int32 mask iotas — at M=2048 that alone is ~100 MB, over the vmem limit
+    once [M, 3W] activations join; M<=1024 keeps the bwd set < 40 MB at any
+    CLIP width. Returns None when no legal block exists — callers then fall
+    back to the composed path (or pad S so one exists; see
+    models/layers.transformer)."""
     cands = [bb for bb in range(1, B + 1)
-             if B % bb == 0 and (bb * S) % 8 == 0]
+             if B % bb == 0 and (bb * S) % 8 == 0 and bb * S <= _MAX_FLAT_M]
     if not cands:
-        # Bound the whole-array block by the BACKWARD kernel's working set,
-        # not just the forward's: per head the bwd holds ~4 live [M, M] fp32
-        # intermediates (logits/p/dp/ds) plus two [M, M] int32 mask iotas —
-        # at M=2048 that alone is ~100 MB, over the 110 MB vmem limit once
-        # [M, 3W] activations join. M=1024 keeps the bwd set < 40 MB at any
-        # CLIP width; larger no-divisor geometries fall back to composed.
-        return B if B * S <= 1024 else None
+        return B if B * S <= _MAX_FLAT_M else None
     ge = [bb for bb in cands if bb >= want]
     return min(ge) if ge else max(cands)
 
 
-def _blockdiag_mask(M: int, S: int, causal: bool):
+def _blockdiag_mask(M: int, S: int, causal: bool, s_valid: "int | None" = None):
     """fp32 {0,1} mask for block-diagonal attention over ``M = block_b*S``
     flattened rows: token i may attend token j iff they belong to the same
-    batch row (i//S == j//S), AND j <= i within the row if causal."""
+    batch row (i//S == j//S), AND j <= i within the row if causal, AND
+    j's within-row position is < ``s_valid`` when given (PAD columns from a
+    sequence padded S_real -> S are excluded, so padded runs are bit-exact
+    for the real tokens — the vision towers use this for S ∤ 8 / S > 128
+    geometries, e.g. ViT-B/16's 197 -> 200 and ViT-L/14's 257 -> 264)."""
     r = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
     ok = (r // S) == (c // S)
     if causal:
         ok = jnp.logical_and(ok, (c - (c // S) * S) <= (r - (r // S) * S))
+    if s_valid is not None and s_valid < S:
+        ok = jnp.logical_and(ok, (c - (c // S) * S) < s_valid)
     return ok
 
 
 def _attn_sublayer_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                           wout_ref, bout_ref, o_ref, *, heads: int, eps: float,
-                          causal: bool, S: int):
+                          causal: bool, S: int,
+                          s_valid: "int | None" = None):
     """One program = ``block_b`` batch rows, flattened to ``M = block_b*S``
     token rows (the flatten happens OUTSIDE the kernel, where [B,S,W] →
     [B*S,W] is a free contiguous reshape — an in-kernel reshape of a
@@ -494,7 +511,7 @@ def _attn_sublayer_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         jnp.dot(ln, wqkv_ref[:], preferred_element_type=jnp.float32)
         + bqkv_ref[:]
     ).astype(xb.dtype)
-    mask = _blockdiag_mask(M, S, causal)
+    mask = _blockdiag_mask(M, S, causal, s_valid)
     ctx_cols = []
     for h in range(heads):
         q = qkv[:, h * D:(h + 1) * D]
@@ -525,22 +542,24 @@ def _attn_sublayer_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
 
 def _pallas_attn_sublayer_flat(x2, ln_p, attn_p, S, heads, causal, eps,
                                block_b: "int | None" = None,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               s_valid: "int | None" = None):
     # block_b=4 (M=200 token rows) measured best on v5e for the flat
     # block-diag kernel at ViT-B/32 b512: 17.9 ms/stack vs 19.8 at 8 and
     # 28.5 at 16 — bigger blocks raise the block-diag core's wasted FLOPs
-    # (∝ block_b) faster than the dense-matmul M helps.
+    # (∝ block_b) faster than the dense-matmul M helps. S > 128 towers run
+    # one padded batch row per program (block_b=1, `_flat_want`).
     N, W = x2.shape
     B = N // S
     if block_b is None:
-        block_b = _sublayer_block_b(B, S, want=4)
+        block_b = _sublayer_block_b(B, S, want=_flat_want(S))
     M = block_b * S
     wqkv = attn_p["qkv"]["kernel"].astype(x2.dtype)
     wout = attn_p["out"]["kernel"].astype(x2.dtype)
     const = lambda b: (0,)
     return pl.pallas_call(
         functools.partial(_attn_sublayer_kernel, heads=heads, eps=eps,
-                          causal=causal, S=S),
+                          causal=causal, S=S, s_valid=s_valid),
         grid=(B // block_b,),
         in_specs=[
             pl.BlockSpec((M, W), lambda b: (b, 0), memory_space=pltpu.VMEM),
@@ -585,6 +604,38 @@ def _jnp_attn_sublayer(x, ln_p, attn_p, heads, causal, eps):
     return x + linear(ctx, attn_p["out"])
 
 
+def _jnp_attn_sublayer_masked(x, ln_p, attn_p, heads, causal, eps,
+                              s_valid: int):
+    """Composed sublayer with PAD columns >= ``s_valid`` excluded — the
+    reference semantics for a sequence padded S_real -> S. Off-kernel
+    fallback / parity oracle for the padded flat path; same fp32
+    logits+softmax islands as the kernels."""
+    from ..models.layers import layer_norm, linear
+
+    B, S, W = x.shape
+    D = W // heads
+    qkv = linear(layer_norm(x, ln_p, eps), attn_p["qkv"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split(t):
+        return t.reshape(B, S, heads, D).transpose(0, 2, 1, 3)
+
+    q, k, v = split(q), split(k), split(v)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * (D ** -0.5)
+    col = jnp.arange(S)
+    mask = (col[None, :] < s_valid)
+    mask = jnp.broadcast_to(mask, (S, S))
+    if causal:
+        mask = jnp.logical_and(mask, col[None, :] <= col[:, None])
+    logits = jnp.where(mask[None, None], logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, W).astype(x.dtype)
+    return x + linear(ctx, attn_p["out"])
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def attention_sublayer(x, ln_p, attn_p, heads: int, causal: bool = False,
                        eps: float = 1e-5):
@@ -607,7 +658,7 @@ def _attn_sublayer_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
                               bqkv_ref, wout_ref, dx_ref, dlns_ref, dlnb_ref,
                               dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref, *,
                               heads: int, eps: float, causal: bool,
-                              S: int):
+                              S: int, s_valid: "int | None" = None):
     """Hand-written backward for the fused attention sublayer (VERDICT r1 #2).
 
     One program per batch-block: recomputes LN1/QKV/softmax in VMEM
@@ -667,7 +718,7 @@ def _attn_sublayer_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
         gyb, wout_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(xb.dtype)
-    mask = _blockdiag_mask(M, S, causal)
+    mask = _blockdiag_mask(M, S, causal, s_valid)
     ctx_cols, dq_cols, dk_cols, dv_cols = [], [], [], []
     for h in range(heads):
         q = qkv[:, h * D:(h + 1) * D]
@@ -736,13 +787,14 @@ def _attn_sublayer_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
 
 def _pallas_attn_sublayer_bwd_flat(x2, g2, ln_p, attn_p, S, heads, causal,
                                    eps, block_b: "int | None" = None,
-                                   interpret: bool = False):
+                                   interpret: bool = False,
+                                   s_valid: "int | None" = None):
     """Returns (dx2, dln_p, dattn_p) with fp32 weight grads (param dtype);
     dx2 is flat [N, W] like the inputs."""
     N, W = x2.shape
     B = N // S
     if block_b is None:
-        block_b = _sublayer_block_b(B, S, want=4)
+        block_b = _sublayer_block_b(B, S, want=_flat_want(S))
     M = block_b * S
     wqkv = attn_p["qkv"]["kernel"].astype(x2.dtype)
     wout = attn_p["out"]["kernel"].astype(x2.dtype)
@@ -751,7 +803,7 @@ def _pallas_attn_sublayer_bwd_flat(x2, g2, ln_p, attn_p, S, heads, causal,
     f32 = jnp.float32
     dx, dlns, dlnb, dwqkv, dbqkv, dwout, dbout = pl.pallas_call(
         functools.partial(_attn_sublayer_bwd_kernel, heads=heads, eps=eps,
-                          causal=causal, S=S),
+                          causal=causal, S=S, s_valid=s_valid),
         grid=(B // block_b,),
         in_specs=[
             pl.BlockSpec((M, W), lambda b: (b, 0), memory_space=pltpu.VMEM),
@@ -844,49 +896,68 @@ attention_sublayer.defvjp(_sub_fwd, _sub_bwd)
 
 
 def _flat_pallas_ok(N: int, S: int, attn_p) -> bool:
-    return (_use_pallas() and S <= 128 and "kernel" in attn_p["qkv"]
-            and _sublayer_block_b(N // S, S, 4) is not None)
+    # S <= 512: block_b=1 above 128 keeps the [M, M] bwd working set small;
+    # the CLIP family tops out at S=264 padded (ViT-L/14). Geometries with
+    # no legal block (e.g. unpadded S=197) return None from the picker and
+    # run composed — models/layers.transformer pads S to reopen this gate.
+    return (_use_pallas() and S <= 512 and "kernel" in attn_p["qkv"]
+            and _sublayer_block_b(N // S, S, _flat_want(S)) is not None)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _jnp_sublayer_flat_dispatch(x2, ln_p, attn_p, S, heads, causal, eps,
+                                s_valid):
+    N, W = x2.shape
+    x3 = x2.reshape(N // S, S, W)
+    if s_valid is not None and s_valid < S:
+        out = _jnp_attn_sublayer_masked(x3, ln_p, attn_p, heads, causal,
+                                        eps, s_valid)
+    else:
+        out = _jnp_attn_sublayer(x3, ln_p, attn_p, heads, causal, eps)
+    return out.reshape(N, W)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def attention_sublayer_flat(x2, ln_p, attn_p, S: int, heads: int,
-                            causal: bool = False, eps: float = 1e-5):
+                            causal: bool = False, eps: float = 1e-5,
+                            s_valid: "int | None" = None):
     """``attention_sublayer`` on flat [N, W] tokens (N = B*S, batch-major).
+
+    ``s_valid``: treat within-row positions >= s_valid as PAD — excluded as
+    attention columns, so real-token outputs are bit-exact vs the unpadded
+    sequence (pad rows produce garbage the caller slices away).
 
     Same dispatch rules as the 3D form; the jnp fallback reshapes to
     [B, S, W] (free outside TPU tiled layouts) and runs the composed path."""
     if _flat_pallas_ok(x2.shape[0], S, attn_p):
         return _pallas_attn_sublayer_flat(x2, ln_p, attn_p, S, heads,
-                                          causal, eps)
-    N, W = x2.shape
-    out = _jnp_attn_sublayer(x2.reshape(N // S, S, W), ln_p, attn_p, heads,
-                             causal, eps)
-    return out.reshape(N, W)
+                                          causal, eps, s_valid=s_valid)
+    return _jnp_sublayer_flat_dispatch(x2, ln_p, attn_p, S, heads, causal,
+                                       eps, s_valid)
 
 
-def _sub_flat_fwd(x2, ln_p, attn_p, S, heads, causal, eps):
-    return (attention_sublayer_flat(x2, ln_p, attn_p, S, heads, causal, eps),
+def _sub_flat_fwd(x2, ln_p, attn_p, S, heads, causal, eps, s_valid):
+    return (attention_sublayer_flat(x2, ln_p, attn_p, S, heads, causal, eps,
+                                    s_valid),
             (x2, ln_p, attn_p))
 
 
-def _sub_flat_bwd(S, heads, causal, eps, res, g):
+def _sub_flat_bwd(S, heads, causal, eps, s_valid, res, g):
     x2, ln_p, attn_p = res
     if _flat_pallas_ok(x2.shape[0], S, attn_p):
         out = _pallas_attn_sublayer_bwd_flat(x2, g, ln_p, attn_p, S, heads,
-                                             causal, eps)
+                                             causal, eps, s_valid=s_valid)
         # Barrier between the kernel's weight-grad outputs and the scan's
         # dynamic-update-slice accumulation: without it XLA fuses the DUS
         # into the pallas-call fusion and the fused scoped allocation
         # ([L, W, W] fp32 accumulator + kernel outputs) exceeds the 16 MB
         # scoped-vmem limit at the text tower's W=512 (compile-time OOM).
         return jax.lax.optimization_barrier(out)
-    N, W = x2.shape
 
-    def composed(a, b, c):
-        return _jnp_attn_sublayer(a.reshape(N // S, S, W), b, c, heads,
-                                  causal, eps).reshape(N, W)
-
-    _, vjp = jax.vjp(composed, x2, ln_p, attn_p)
+    _, vjp = jax.vjp(
+        lambda a, b, c: _jnp_sublayer_flat_dispatch(a, b, c, S, heads,
+                                                    causal, eps, s_valid),
+        x2, ln_p, attn_p,
+    )
     return vjp(g)
 
 

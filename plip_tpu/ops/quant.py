@@ -11,12 +11,15 @@ per-row int8 activations with int32 MXU accumulation are
 Inference-only: quantized params are a frozen transform of the fp32 tree
 (`quantize_block_linears`), and `layers.linear` dispatches on the presence
 of ``kernel_q``. The fused attention-sublayer kernel does not consume
-quantized params, so the API quantizes only the VISUAL blocks at L/14: its
-S=257 image tower takes the composed path anyway (fused kernel gated to
-S<=128), which is exactly where the +14% was measured. The L/14 TEXT tower
-(S=77) is fused-eligible and stays bf16 — quantizing it would move
-encode_text onto the composed W8A8 path, whose speed vs the fused bf16
-kernel is unmeasured, for a tower holding a tiny share of total FLOPs.
+quantized params (its gate requires a plain ``kernel`` leaf, so int8 towers
+always run the composed path whose `linear` dispatches to W8A8) — the API
+therefore quantizes only the VISUAL blocks at L/14, where the +14% was
+measured on the composed S=257 tower. The L/14 TEXT tower (S=77) stays
+bf16 on the fused kernel — quantizing it would move encode_text onto
+composed W8A8, whose speed vs the fused bf16 kernel is unmeasured, for a
+tower holding a tiny share of total FLOPs. NB since round 3 the bf16 L/14
+image tower can take the fused path too (padded S=264, ops/attention
+`_flat_pallas_ok`); quantize='w8a8' remains a composed-path trade.
 
 Replaces nothing in the reference (it has no quantized path — this is part
 of "beat on perf", SURVEY.md §6).
