@@ -108,13 +108,18 @@ def main():
     ids_np[:, 2] = 49407
     ids = jnp.asarray(ids_np)
 
-    remats = ("block", "mlp") if "--both" in sys.argv else ("block",)
+    if "--combos" in sys.argv:
+        remats = (("block", "mlp"), ("mlp", "block"), "block", "mlp")
+    elif "--both" in sys.argv:
+        remats = ("block", "mlp")
+    else:
+        remats = ("block",)
     for remat in remats:
         try:
             step = make_train_step(cfg, opt, dtype=jnp.bfloat16, remat=remat)
             state = init_train_state(params, opt)
             dt = run(step, state, px, ids)
-            print(f"b={batch} remat={remat!s:5s}: {dt*1e3:7.1f} ms "
+            print(f"b={batch} remat={remat!s:18s}: {dt*1e3:7.1f} ms "
                   f"{batch/dt:7,.0f} pairs/s "
                   f"(MFU {batch*3*GFL_PAIR*1e9/dt/PEAK_BF16*100:.0f}%@3x)")
             del state

@@ -1,9 +1,8 @@
 """Model-family coverage numbers: ViT-B/16 encode and ViT-L/14 training.
 
-B/16 (S=197) exercises the 128<S<=512 dispatch (per-batch-row attention
-kernel, composed sublayer); L/14 training exercises the mixed regime —
-vision (S=257) composed path + Pallas attention bwd, text (S=77) fused
-sublayer fwd+bwd kernels."""
+Since round 3 both towers take the PADDED fused flat path (S=197 -> 200,
+S=257 -> 264, block_b=1, s_valid masking; ops/attention). remat="block"
+additionally runs the whole-block backward kernel (ops/block_bwd)."""
 
 import functools
 import os
@@ -79,7 +78,9 @@ def train_l14(batch):
     gfl = (tower_gflops(1024, 24, cfg.vision.seq_len, patch=14, embed=768)
            + tower_gflops(768, 12, 77, embed=768))
     opt = make_optimizer(total_steps=100)
-    for remat in ("mlp", True):
+    remats = (("block",) if "--block-only" in sys.argv
+              else ("block", "mlp", True))
+    for remat in remats:
         try:
             step = make_train_step(cfg, opt, dtype=jnp.bfloat16, remat=remat)
             # copy: donation below deletes the state's buffers, and params

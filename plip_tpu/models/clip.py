@@ -185,9 +185,14 @@ def forward(
     dtype: jnp.dtype = jnp.float32,
     remat: bool = False,
 ):
-    """Full CLIP forward: (logits_per_image, logits_per_text)."""
-    img = l2_normalize(encode_image(params, pixels, cfg, dtype, remat))
-    txt = l2_normalize(encode_text(params, ids, cfg, dtype, remat))
+    """Full CLIP forward: (logits_per_image, logits_per_text).
+
+    ``remat`` may be a single policy or an ``(image, text)`` pair — the
+    towers' best backward structures differ (the whole-block kernel wins
+    only where the composed/XLA mix is weak; see PERF.md round 3)."""
+    r_img, r_txt = remat if isinstance(remat, tuple) else (remat, remat)
+    img = l2_normalize(encode_image(params, pixels, cfg, dtype, r_img))
+    txt = l2_normalize(encode_text(params, ids, cfg, dtype, r_txt))
     scale = jnp.exp(
         jnp.clip(params["logit_scale"], max=cfg.logit_scale_max)
     ).astype(jnp.float32)

@@ -81,6 +81,18 @@ class CLIPConfig:
         )
 
     @staticmethod
+    def vit_l14_336() -> "CLIPConfig":
+        """ViT-L/14@336px — the high-res OpenAI CLIP arch (S=577+1 -> 584
+        padded on the flat fused path). The reference accepts any
+        ``clip.load`` arch string (embedders/factory.py:21)."""
+        return CLIPConfig(
+            vision=VisionConfig(width=1024, layers=24, heads=16,
+                                patch_size=14, image_size=336),
+            text=TextConfig(width=768, layers=12, heads=12),
+            embed_dim=768,
+        )
+
+    @staticmethod
     def tiny(vocab_size: int = 64) -> "CLIPConfig":
         """Small config for fast CPU tests."""
         return CLIPConfig(
@@ -94,6 +106,7 @@ ARCHITECTURES = {
     "ViT-B/32": CLIPConfig.vit_b32,
     "ViT-B/16": CLIPConfig.vit_b16,
     "ViT-L/14": CLIPConfig.vit_l14,
+    "ViT-L/14@336px": CLIPConfig.vit_l14_336,
 }
 
 # CLIP normalization constants (transform.py:45-52 in the reference).

@@ -222,6 +222,23 @@ def transformer(
             half = lambda a, ln2, pm: a + mlp(layer_norm(a, ln2, eps), pm, act)
             if remat == "mlp":
                 half = jax.checkpoint(half)
+            elif remat == "mlp_h1":
+                # Save ONLY the fc1 pre-activation: the backward recomputes
+                # just LN2 + the activation (cheap VPU) instead of the fc1
+                # matmul remat="mlp" re-runs (2*N*W*4W FLOPs/layer), at
+                # +[N, 4W] bf16 per layer of residual memory.
+                from jax.ad_checkpoint import checkpoint_name
+
+                def half(a, ln2, pm):
+                    h1 = checkpoint_name(
+                        linear(layer_norm(a, ln2, eps), pm["fc1"]), "mlp_h1")
+                    return a + linear(ACTIVATIONS[act](h1), pm["fc2"])
+
+                half = jax.checkpoint(
+                    half,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "mlp_h1"),
+                )
             return half(h, p["ln2"], p["mlp"]), None
 
         if remat is True:

@@ -896,11 +896,13 @@ attention_sublayer.defvjp(_sub_fwd, _sub_bwd)
 
 
 def _flat_pallas_ok(N: int, S: int, attn_p) -> bool:
-    # S <= 512: block_b=1 above 128 keeps the [M, M] bwd working set small;
-    # the CLIP family tops out at S=264 padded (ViT-L/14). Geometries with
-    # no legal block (e.g. unpadded S=197) return None from the picker and
-    # run composed — models/layers.transformer pads S to reopen this gate.
-    return (_use_pallas() and S <= 512 and "kernel" in attn_p["qkv"]
+    # S <= _MAX_FLAT_M: block_b=1 above 128 keeps the [M, M] bwd working
+    # set small (the picker itself caps bb*S at _MAX_FLAT_M) — covers the
+    # whole CLIP family up to ViT-L/14@336px (S=577 -> 584 padded).
+    # Geometries with no legal block (e.g. unpadded S=197) return None from
+    # the picker and run composed — models/layers.transformer pads S to
+    # reopen this gate.
+    return (_use_pallas() and S <= _MAX_FLAT_M and "kernel" in attn_p["qkv"]
             and _sublayer_block_b(N // S, S, _flat_want(S)) is not None)
 
 

@@ -354,7 +354,9 @@ def _jnp_block_flat(x2, p, S, heads, causal, eps, act,
 def _block_pallas_ok(N: int, S: int, p, act: str) -> bool:
     from .attention import _flat_want
 
-    return (_use_pallas() and S <= 512 and act == "quick_gelu"
+    from .attention import _MAX_FLAT_M
+
+    return (_use_pallas() and S <= _MAX_FLAT_M and act == "quick_gelu"
             and "kernel" in p["attn"]["qkv"] and "kernel" in p["mlp"]["fc1"]
             and _sublayer_block_b(N // S, S, _flat_want(S)) is not None)
 

@@ -76,13 +76,68 @@ def make_optimizer(
     (clip.py:107-110), i.e. torch defaults betas=(0.9, 0.999), eps=1e-8 —
     matched here. (OpenCLIP's paper values (0.9, 0.98)/1e-6 are NOT what the
     reference runs; pass them explicitly if wanted.)"""
-    return optax.adamw(
+    return fused_adamw(
         learning_rate=cosine_lr(base_lr, warmup, total_steps),
         b1=betas[0],
         b2=betas[1],
         eps=eps,
         weight_decay=weight_decay,
     )
+
+
+def fused_adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                weight_decay=0.2) -> optax.GradientTransformation:
+    """AdamW as ONE tree_map pass — trajectory-identical to ``optax.adamw``
+    (same formulas, same schedule stepping) but each leaf's whole chain
+    (m/v update, bias correction, decayed update) is a single 4-in/3-out
+    elementwise op, so XLA emits one fused RMW loop per leaf instead of
+    materializing the intermediate `updates` trees between the chained
+    ``scale_by_adam``/``add_decayed_weights``/``scale_by_learning_rate``
+    stages. The 151M-param ViT-B/32 step spends ~8.9 ms in optax.adamw vs a
+    ~5.2 ms traffic floor (experiments/bench_adamw_only.py) — this recovers
+    most of that gap.
+
+    State = optax.ScaleByAdamState (count/mu/nu), so checkpoints hold the
+    same leaves. Returned updates compose with ``optax.apply_updates``."""
+    sched = learning_rate if callable(learning_rate) else (lambda _: learning_rate)
+
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update(grads, state, params=None):
+        if params is None:
+            raise ValueError("fused_adamw requires params (weight decay)")
+        # optax.adamw stepping: scale_by_adam bias-corrects with count+1;
+        # the lr schedule is evaluated at the PRE-increment count.
+        lr = sched(state.count).astype(jnp.float32)
+        count = optax.safe_int32_increment(state.count)
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** c
+        bc2 = 1.0 - b2 ** c
+
+        def leaf(g, m, v, p):
+            m2 = b1 * m + (1.0 - b1) * g
+            v2 = b2 * v + (1.0 - b2) * jnp.square(g)
+            upd = -lr * ((m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+                         + weight_decay * p)
+            return m2, v2, upd
+
+        flat_g, treedef = jax.tree.flatten(grads)
+        flat_m = treedef.flatten_up_to(state.mu)
+        flat_v = treedef.flatten_up_to(state.nu)
+        flat_p = treedef.flatten_up_to(params)
+        out = [leaf(g, m, v, p)
+               for g, m, v, p in zip(flat_g, flat_m, flat_v, flat_p)]
+        mu = jax.tree.unflatten(treedef, [o[0] for o in out])
+        nu = jax.tree.unflatten(treedef, [o[1] for o in out])
+        updates = jax.tree.unflatten(treedef, [o[2] for o in out])
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def clamp_logit_scale(params: Params, cfg: CLIPConfig) -> Params:

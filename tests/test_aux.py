@@ -80,3 +80,39 @@ def test_train_state_resume(tmp_path):
         resumed, _ = step_fn(resumed, px, ids)
     for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(resumed.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_adamw_matches_optax():
+    """fused_adamw (one tree_map pass) must be trajectory-identical to
+    optax.adamw — same formulas, schedule stepping, and state leaves."""
+    import optax
+
+    from plip_tpu.train.contrastive import fused_adamw
+    from plip_tpu.train.scheduler import cosine_lr
+
+    sched = cosine_lr(1e-3, 2, 12)
+    kw = dict(b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.2)
+    ours = fused_adamw(learning_rate=sched, **kw)
+    ref = optax.adamw(learning_rate=sched, **kw)
+
+    rng = np.random.default_rng(17)
+    params = {
+        "w": jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32)),
+        "b": jnp.asarray(rng.standard_normal(16).astype(np.float32)),
+    }
+    p_a, s_a = dict(params), ours.init(params)
+    p_b, s_b = dict(params), ref.init(params)
+    for step in range(6):
+        g = jax.tree.map(
+            lambda x: jnp.asarray(
+                rng.standard_normal(x.shape).astype(np.float32)), params)
+        u_a, s_a = ours.update(g, s_a, p_a)
+        p_a = optax.apply_updates(p_a, u_a)
+        u_b, s_b = ref.update(g, s_b, p_b)
+        p_b = optax.apply_updates(p_b, u_b)
+        for a, b in zip(jax.tree.leaves(p_a), jax.tree.leaves(p_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=2e-7)
+    # state carries the same adam moments
+    np.testing.assert_allclose(np.asarray(s_a.mu["w"]),
+                               np.asarray(s_b[0].mu["w"]), rtol=1e-6)

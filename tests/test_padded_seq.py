@@ -134,6 +134,7 @@ def test_picker_long_seq():
     assert _flat_want(200) == 1 and _flat_want(264) == 1
     assert _sublayer_block_b(512, 200, 1) == 1
     assert _sublayer_block_b(512, 264, 1) == 1
+    assert _sublayer_block_b(64, 584, 1) == 1   # ViT-L/14@336px (577 padded)
     assert _sublayer_block_b(512, 197, 1) is None  # 197 % 8 != 0, bb*197>1024
     # short-S optima preserved
     assert _sublayer_block_b(512, 50, 4) == 4
