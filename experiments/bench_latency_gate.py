@@ -29,13 +29,7 @@ from plip_tpu.ops.preprocess import preprocess_batch
 from plip_tpu.tokenizer import default_tokenizer
 
 
-def measure(tag, min_bs):
-    import plip_tpu.ops.attention as A
-
-    orig = A._MIN_FLAT_TOKENS if hasattr(A, "_MIN_FLAT_TOKENS") else None
-    if min_bs is not None and orig is not None:
-        A._MIN_FLAT_TOKENS = min_bs
-
+def measure(tag):
     cfg = CLIPConfig.vit_b32()
     params = jclip.init_params(jax.random.PRNGKey(0), cfg)
     tok = default_tokenizer()
@@ -58,23 +52,25 @@ def measure(tag, min_bs):
         lats.append(time.perf_counter() - t0)
     lats.sort()
     print(f"{tag}: p50={lats[25]*1e3:.1f} ms  p10={lats[5]*1e3:.1f}  "
-          f"p90={lats[45]*1e3:.1f}")
-    if min_bs is not None and orig is not None:
-        A._MIN_FLAT_TOKENS = orig
+          f"p90={lats[45]*1e3:.1f}", flush=True)
 
 
 def main():
     import plip_tpu.ops.attention as A
 
-    measure("flat (status quo)", None)
+    measure("flat (status quo)")
 
     orig = A._use_pallas
     A._use_pallas = lambda: False
-    measure("composed", None)
+    measure("composed")
     A._use_pallas = orig
 
-    if hasattr(A, "_MIN_FLAT_TOKENS"):
-        measure("gated (min tokens)", 1024)
+    # flat gate off for tiny token counts only (the candidate small-batch
+    # dispatch): B=1 image tower (N=50) goes composed-3D, text stays flat
+    orig_ok = A._flat_pallas_ok
+    A._flat_pallas_ok = lambda N, S, p: N > 128 and orig_ok(N, S, p)
+    measure("small-N composed")
+    A._flat_pallas_ok = orig_ok
 
 
 if __name__ == "__main__":

@@ -133,6 +133,13 @@ def block(
     return x + mlp(layer_norm(x, p["ln2"], eps), p["mlp"], act)
 
 
+# Widest tower where the padded flat path wins FORWARD-ONLY dispatch at
+# S > 128 (measured: W=768 B/16 +12%, W=1024 L/14 -3..-7% vs composed —
+# experiments/bench_bb_sweep.py). Training takes the flat path at any width
+# where it fits (its hand-written bwd kernel wins at L/14 too).
+_FLAT_FWD_ONLY_MAX_W = 768
+
+
 def transformer(
     x: jnp.ndarray,
     stacked: Params,
@@ -177,11 +184,24 @@ def transformer(
     # (ops/attention._blockdiag_mask), and the pad rows' grads are exactly
     # zero, so weight grads are unpolluted. Measured-optimal short-S paths
     # (50, 80) are untouched: padding only happens when the unpadded gate
-    # fails.
+    # fails. (With the round-3 row-blocked core, block_b no longer costs
+    # core waste at S > 128, so dense ops run at M = bb*S rows in the
+    # kernels — measured A/Bs in experiments/bench_l14_ab.py.)
+    #
+    # Per-pass dispatch at S > 128 (measured, v5e, experiments/bench_l14_ab
+    # + bench_bb_sweep): the padded flat path wins BOTH passes at W=768
+    # (B/16 encode 62.6 vs 70.3 ms b256) and wins TRAINING at W=1024 (L/14
+    # 333.2 vs 341.1 ms b64) but loses forward-only there (77.5+ vs 75.6 ms
+    # — the 16-head × block_b row-blocked core serializes more than the 3D
+    # fused_attention kernel at that width). `remat` is the training proxy:
+    # inference calls pass remat=False, so the composed 3D scan keeps
+    # forward-only W>768 towers on their measured winner.
     S_run, s_valid = S, None
+    flat_fwd_only_wins = W <= _FLAT_FWD_ONLY_MAX_W
     if not _flat_pallas_ok(B * S, S, first):
         S_pad = -(-S // 8) * 8
-        if _flat_pallas_ok(B * S_pad, S_pad, first):
+        if _flat_pallas_ok(B * S_pad, S_pad, first) and (
+                remat is not False or flat_fwd_only_wins):
             S_run, s_valid = S_pad, S
 
     def _flatten(h):

@@ -428,15 +428,16 @@ fused_attention.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 
 
-_MAX_FLAT_M = 1024  # [M, M] bwd working-set bound (see picker docstring)
+_MAX_FLAT_M = 1056  # bwd working-set bound (see picker docstring); admits
+# block_b=4 at ViT-L/14's padded S=264 for the row-blocked core
 
 
 def _flat_want(S: int) -> int:
-    """Preferred block_b by sequence length: 4 (M=200 at ViT-B/32) measured
-    best for the short-S CLIP towers; above 128 tokens the block-diagonal
-    core's wasted FLOPs (∝ block_b of a core that is no longer small) and
-    the [M, M] working set both say run one batch row per program."""
-    return 4 if S <= 128 else 1
+    """Preferred block_b: 4 (M=200 at ViT-B/32) measured best for the
+    short-S block-diagonal core, and the row-blocked core above 128 tokens
+    has zero core waste at any block_b, so larger-M dense matmuls win there
+    too (the picker's bb*S <= _MAX_FLAT_M cap bounds the working set)."""
+    return 4
 
 
 def _sublayer_block_b(B: int, S: int, want: int) -> "int | None":
@@ -476,6 +477,20 @@ def _blockdiag_mask(M: int, S: int, causal: bool, s_valid: "int | None" = None):
     return ok
 
 
+def _row_mask(S: int, causal: bool, s_valid: "int | None"):
+    """[S, S] within-row mask (causal triangle + PAD columns >= s_valid) for
+    the row-blocked core — the S > 128 formulation where each batch row's
+    attention is its own exact [S, S] dot (no block-diagonal waste)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    ok = jnp.ones((S, S), bool)
+    if causal:
+        ok = c <= r
+    if s_valid is not None and s_valid < S:
+        ok = jnp.logical_and(ok, c < s_valid)
+    return ok
+
+
 def _attn_sublayer_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                           wout_ref, bout_ref, o_ref, *, heads: int, eps: float,
                           causal: bool, S: int,
@@ -511,28 +526,61 @@ def _attn_sublayer_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         jnp.dot(ln, wqkv_ref[:], preferred_element_type=jnp.float32)
         + bqkv_ref[:]
     ).astype(xb.dtype)
-    mask = _blockdiag_mask(M, S, causal, s_valid)
-    ctx_cols = []
-    for h in range(heads):
-        q = qkv[:, h * D:(h + 1) * D]
-        k = qkv[:, W + h * D:W + (h + 1) * D]
-        v = qkv[:, 2 * W + h * D:2 * W + (h + 1) * D]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        logits = jnp.where(mask, logits, -jnp.inf)
-        m = jnp.max(logits, -1, keepdims=True)
-        p = jnp.exp(logits - m)
-        # NOTE deferring this divide past the PV dot (ctx = (exp@V)*inv)
-        # measured FASTER isolated (17.2 vs 17.9 ms/stack) but ~1.5% SLOWER
-        # end-to-end encode (14.5k vs 14.7k img/s) — kept as the exact
-        # normalize-first form.
-        p = p / jnp.sum(p, -1, keepdims=True)
-        ctx_cols.append(
-            jnp.dot(p.astype(xb.dtype), v,
-                    preferred_element_type=jnp.float32).astype(xb.dtype)
-        )
-    ctx = jnp.concatenate(ctx_cols, axis=-1)  # [M, W]
+    if S <= 128:
+        # block-diagonal core: ONE [M, M] masked dot per head (core waste
+        # ∝ block_b is ~3% of program FLOPs at these S)
+        mask = _blockdiag_mask(M, S, causal, s_valid)
+        ctx_cols = []
+        for h in range(heads):
+            q = qkv[:, h * D:(h + 1) * D]
+            k = qkv[:, W + h * D:W + (h + 1) * D]
+            v = qkv[:, 2 * W + h * D:2 * W + (h + 1) * D]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            logits = jnp.where(mask, logits, -jnp.inf)
+            m = jnp.max(logits, -1, keepdims=True)
+            p = jnp.exp(logits - m)
+            # NOTE deferring this divide past the PV dot (ctx = (exp@V)*inv)
+            # measured FASTER isolated (17.2 vs 17.9 ms/stack) but ~1.5%
+            # SLOWER end-to-end encode (14.5k vs 14.7k img/s) — kept as the
+            # exact normalize-first form.
+            p = p / jnp.sum(p, -1, keepdims=True)
+            ctx_cols.append(
+                jnp.dot(p.astype(xb.dtype), v,
+                        preferred_element_type=jnp.float32).astype(xb.dtype)
+            )
+        ctx = jnp.concatenate(ctx_cols, axis=-1)  # [M, W]
+    else:
+        # row-blocked core (S > 128): each batch row's attention is its own
+        # exact [S, S] dot — zero core waste at any block_b, so dense ops
+        # still run at M = block_b*S rows (at S=264 a block-diag [M, M]
+        # would waste (bb-1)/bb of a core that is no longer a small share)
+        mask = _row_mask(S, causal, s_valid)
+        ctx_rows = []
+        for rb in range(M // S):
+            sl = slice(rb * S, (rb + 1) * S)
+            cols = []
+            for h in range(heads):
+                q = qkv[sl, h * D:(h + 1) * D]
+                k = qkv[sl, W + h * D:W + (h + 1) * D]
+                v = qkv[sl, 2 * W + h * D:2 * W + (h + 1) * D]
+                logits = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                logits = jnp.where(mask, logits, -jnp.inf)
+                m = jnp.max(logits, -1, keepdims=True)
+                p = jnp.exp(logits - m)
+                p = p / jnp.sum(p, -1, keepdims=True)
+                cols.append(
+                    jnp.dot(p.astype(xb.dtype), v,
+                            preferred_element_type=jnp.float32
+                            ).astype(xb.dtype)
+                )
+            ctx_rows.append(jnp.concatenate(cols, axis=-1))  # [S, W]
+        ctx = jnp.concatenate(ctx_rows, axis=0)  # [M, W]
     y = (
         jnp.dot(ctx, wout_ref[:], preferred_element_type=jnp.float32)
         + bout_ref[:]
@@ -718,47 +766,63 @@ def _attn_sublayer_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
         gyb, wout_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(xb.dtype)
-    mask = _blockdiag_mask(M, S, causal, s_valid)
-    ctx_cols, dq_cols, dk_cols, dv_cols = [], [], [], []
-    for h in range(heads):
-        q = qkv[:, h * D:(h + 1) * D]
-        k = qkv[:, W + h * D:W + (h + 1) * D]
-        v = qkv[:, 2 * W + h * D:2 * W + (h + 1) * D]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        logits = jnp.where(mask, logits, -jnp.inf)
-        m = jnp.max(logits, -1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, -1, keepdims=True)  # [M, M] fp32, block-diag
-        ctx_cols.append(
-            jnp.dot(p.astype(xb.dtype), v,
-                    preferred_element_type=jnp.float32).astype(xb.dtype)
-        )
-        gh = dctx[:, h * D:(h + 1) * D]
-        p_c = p.astype(xb.dtype)
-        dv = jax.lax.dot_general(
-            p_c, gh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            gh, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = (p * (dp - dsum)).astype(xb.dtype)  # [M, M], zero off-block
-        dq_cols.append(
-            (jnp.dot(ds, k, preferred_element_type=jnp.float32)
-             * scale).astype(xb.dtype))
-        dk_cols.append(
-            (jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())),
+    def core_bwd(qkv_b, dctx_b, mask):
+        """fwd-recompute + softmax/PV backward for one token block (whole
+        [M] block-diagonally, or one [S] row of the row-blocked core)."""
+        ctx_cols, dq_cols, dk_cols, dv_cols = [], [], [], []
+        for h in range(heads):
+            q = qkv_b[:, h * D:(h + 1) * D]
+            k = qkv_b[:, W + h * D:W + (h + 1) * D]
+            v = qkv_b[:, 2 * W + h * D:2 * W + (h + 1) * D]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale).astype(xb.dtype))
-        dv_cols.append(dv.astype(xb.dtype))
-    ctx = jnp.concatenate(ctx_cols, axis=-1)  # [M, W]
-    dqkv = jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1)  # [M, 3W]
+            ) * scale
+            logits = jnp.where(mask, logits, -jnp.inf)
+            m = jnp.max(logits, -1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, -1, keepdims=True)  # fp32
+            ctx_cols.append(
+                jnp.dot(p.astype(xb.dtype), v,
+                        preferred_element_type=jnp.float32).astype(xb.dtype)
+            )
+            gh = dctx_b[:, h * D:(h + 1) * D]
+            p_c = p.astype(xb.dtype)
+            dv = jax.lax.dot_general(
+                p_c, gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                gh, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = (p * (dp - dsum)).astype(xb.dtype)  # zero where masked
+            dq_cols.append(
+                (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                 * scale).astype(xb.dtype))
+            dk_cols.append(
+                (jax.lax.dot_general(
+                    ds, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale).astype(xb.dtype))
+            dv_cols.append(dv.astype(xb.dtype))
+        return (jnp.concatenate(ctx_cols, axis=-1),
+                jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1))
+
+    if S <= 128:
+        ctx, dqkv = core_bwd(qkv, dctx, _blockdiag_mask(M, S, causal, s_valid))
+    else:
+        # row-blocked core (S > 128) — see _attn_sublayer_kernel
+        mask = _row_mask(S, causal, s_valid)
+        ctx_rows, dqkv_rows = [], []
+        for rb in range(M // S):
+            sl = slice(rb * S, (rb + 1) * S)
+            c_rb, d_rb = core_bwd(qkv[sl], dctx[sl], mask)
+            ctx_rows.append(c_rb)
+            dqkv_rows.append(d_rb)
+        ctx = jnp.concatenate(ctx_rows, axis=0)
+        dqkv = jnp.concatenate(dqkv_rows, axis=0)
     # ---- dense backward, all rows at once
     dwout_ref[:, :] += jax.lax.dot_general(
         ctx, gyb, (((0,), (0,)), ((), ())),

@@ -351,14 +351,36 @@ def _jnp_block_flat(x2, p, S, heads, causal, eps, act,
     return h + mlp(layer_norm(h, p["ln2"], eps), p["mlp"], act)
 
 
-def _block_pallas_ok(N: int, S: int, p, act: str) -> bool:
-    from .attention import _flat_want
+def _block_vmem_bytes(S: int, W: int, W4: int, heads: int, bb: int) -> int:
+    """Rough peak working set of the whole-block bwd kernel: bf16 weights +
+    fp32 grad accumulators (both VMEM-resident across the grid) + the p
+    scratch + ~6 live [M, max(3W, W4)]-class fp32 temporaries (calibrated:
+    B/32 bb=8 runs at ~87 MB by this estimate; L/14 bb=1 at ~106 MB was
+    RESOURCE_EXHAUSTED on the 128 MB v5e VMEM)."""
+    M = bb * S
+    weights = 2 * (W * 3 * W + W * W + 2 * W * W4)
+    grads = 4 * (W * 3 * W + W * W + 2 * W * W4)
+    p_scr = 4 * heads * M * M
+    temps = 6 * M * max(3 * W, W4) * 4
+    return weights + grads + p_scr + temps
 
+
+def _block_pallas_ok(N: int, S: int, p, act: str) -> bool:
     from .attention import _MAX_FLAT_M
 
-    return (_use_pallas() and S <= _MAX_FLAT_M and act == "quick_gelu"
-            and "kernel" in p["attn"]["qkv"] and "kernel" in p["mlp"]["fc1"]
-            and _sublayer_block_b(N // S, S, _flat_want(S)) is not None)
+    if not (_use_pallas() and S <= _MAX_FLAT_M and act == "quick_gelu"
+            and "kernel" in p["attn"]["qkv"] and "kernel" in p["mlp"]["fc1"]):
+        return False
+    bb = _sublayer_block_b(N // S, S, _block_bwd_want(S))
+    if bb is None:
+        return False
+    W = p["attn"]["qkv"]["kernel"].shape[0]
+    W4 = p["mlp"]["fc1"]["kernel"].shape[1]
+    heads = max(1, W // 64)  # CLIP towers are all head_dim 64
+    # Over-budget geometries (ViT-L/14: the fp32 grad accumulators alone
+    # are 50 MB) fall back to the composed VJP instead of handing Mosaic an
+    # unschedulable allocation (measured RESOURCE_EXHAUSTED).
+    return _block_vmem_bytes(S, W, W4, heads, bb) <= 100 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))

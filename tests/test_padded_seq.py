@@ -44,8 +44,9 @@ def test_masked_composed_matches_unpadded(S, S_pad, causal):
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("S,S_pad", [(13, 16), (197, 200)])
-def test_padded_sublayer_kernel_fwd(S, S_pad):
+@pytest.mark.parametrize("S,S_pad,bb", [(13, 16, 1), (197, 200, 1),
+                                        (197, 200, 2), (257, 264, 2)])
+def test_padded_sublayer_kernel_fwd(S, S_pad, bb):
     from plip_tpu.ops.attention import (_jnp_attn_sublayer,
                                         _pallas_attn_sublayer_flat)
 
@@ -56,21 +57,23 @@ def test_padded_sublayer_kernel_fwd(S, S_pad):
     ref = _jnp_attn_sublayer(x, p["ln1"], p["attn"], heads, False, 1e-5)
     x2 = _pad_rows(x, S_pad).reshape(B * S_pad, W)
     out = _pallas_attn_sublayer_flat(x2, p["ln1"], p["attn"], S_pad, heads,
-                                     False, 1e-5, block_b=1, interpret=True,
+                                     False, 1e-5, block_b=bb, interpret=True,
                                      s_valid=S)
     out = out.reshape(B, S_pad, W)[:, :S]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
                                atol=2e-5)
 
 
-def test_padded_sublayer_kernel_bwd():
-    """Padded bwd kernel vs jax.vjp of the masked composed path: real-row
-    grads match, pad-row dx is exactly zero, weight grads unpolluted."""
+@pytest.mark.parametrize("S,S_pad,bb", [(13, 16, 1), (197, 200, 2)])
+def test_padded_sublayer_kernel_bwd(S, S_pad, bb):
+    """Padded bwd kernel vs jax.vjp of the composed path: real-row grads
+    match, pad-row dx is exactly zero, weight grads unpolluted. bb=2 at
+    S=200 exercises the row-blocked core backward."""
     from plip_tpu.ops.attention import (_jnp_attn_sublayer,
                                         _pallas_attn_sublayer_bwd_flat)
 
     rng = np.random.default_rng(13)
-    W, heads, B, S, S_pad = 64, 4, 2, 13, 16
+    W, heads, B = 64, 4, 2
     p = _blk(jax.random.PRNGKey(10), W)
     x = jnp.asarray(rng.standard_normal((B, S, W)).astype(np.float32))
     g = jnp.asarray(rng.standard_normal((B, S, W)).astype(np.float32))
@@ -81,7 +84,7 @@ def test_padded_sublayer_kernel_bwd():
     x2 = _pad_rows(x, S_pad).reshape(B * S_pad, W)
     g2 = _pad_rows(g, S_pad).reshape(B * S_pad, W)
     dx, dln, dattn = _pallas_attn_sublayer_bwd_flat(
-        x2, g2, p["ln1"], p["attn"], S_pad, heads, False, 1e-5, block_b=1,
+        x2, g2, p["ln1"], p["attn"], S_pad, heads, False, 1e-5, block_b=bb,
         interpret=True, s_valid=S)
     dx3 = dx.reshape(B, S_pad, W)
     np.testing.assert_allclose(np.asarray(dx3[:, :S]), np.asarray(ref_dx),
@@ -126,16 +129,17 @@ def test_padded_block_bwd_kernel():
 
 
 def test_picker_long_seq():
-    """S>128 geometries: padded multiples of 8 get block_b=1; unpadded
-    S=197 has no legal block (forcing the tower-level pad)."""
+    """S>128 geometries (row-blocked core): dense M = bb*S grows to the
+    _MAX_FLAT_M working-set cap; unpadded S=197 has no legal block (forcing
+    the tower-level pad)."""
     from plip_tpu.ops.attention import _flat_want, _sublayer_block_b
 
-    assert _flat_want(50) == 4 and _flat_want(128) == 4
-    assert _flat_want(200) == 1 and _flat_want(264) == 1
-    assert _sublayer_block_b(512, 200, 1) == 1
-    assert _sublayer_block_b(512, 264, 1) == 1
-    assert _sublayer_block_b(64, 584, 1) == 1   # ViT-L/14@336px (577 padded)
-    assert _sublayer_block_b(512, 197, 1) is None  # 197 % 8 != 0, bb*197>1024
+    assert _flat_want(50) == 4 and _flat_want(264) == 4
+    assert _sublayer_block_b(512, 200, 4) == 4   # B/16 padded: M=800
+    assert _sublayer_block_b(512, 264, 4) == 4   # L/14 padded: M=1056
+    assert _sublayer_block_b(64, 264, 4) == 4
+    assert _sublayer_block_b(64, 584, 4) == 1    # L/14@336px: bb*584 cap
+    assert _sublayer_block_b(512, 197, 4) is None  # 197 % 8 != 0, bb*197>cap
     # short-S optima preserved
     assert _sublayer_block_b(512, 50, 4) == 4
     assert _sublayer_block_b(512, 80, 4) == 4
