@@ -143,3 +143,50 @@ def test_picker_long_seq():
     # short-S optima preserved
     assert _sublayer_block_b(512, 50, 4) == 4
     assert _sublayer_block_b(512, 80, 4) == 4
+
+
+def test_fwd_only_width_gate(monkeypatch):
+    """Per-pass dispatch at S>128 (PERF.md round 3): forward-only (remat=
+    False) pads into the flat path only at W <= _FLAT_FWD_ONLY_MAX_W;
+    training (any remat policy) pads at every width. Short-S towers take
+    the flat path unconditionally. Measured basis: L/14 encode composed
+    75.6 ms < flat 77.5+; L/14 train flat 333.2 < composed 341.1."""
+    import plip_tpu.models.layers as L
+    from plip_tpu.models.layers import init_block_stack, transformer
+    from plip_tpu.ops import attention as A
+
+    calls = []
+
+    def spy_flat(x2, ln_p, attn_p, S, heads, causal=False, eps=1e-5,
+                 s_valid=None):
+        calls.append((S, s_valid))
+        return A._jnp_sublayer_flat_dispatch(x2, ln_p, attn_p, S, heads,
+                                             causal, eps, s_valid)
+
+    # simulate the TPU gate on CPU (real picker logic, _use_pallas forced)
+    monkeypatch.setattr(
+        A, "_flat_pallas_ok",
+        lambda N, S, p: (S <= A._MAX_FLAT_M and "kernel" in p["qkv"] and
+                         A._sublayer_block_b(N // S, S, A._flat_want(S))
+                         is not None))
+    monkeypatch.setattr(A, "attention_sublayer_flat", spy_flat)
+
+    def run(W, S, remat):
+        calls.clear()
+        p = init_block_stack(jax.random.PRNGKey(0), 1, W)
+        # B=8 keeps B*S above _MAX_FLAT_M so the whole-array fallback
+        # (legal at tiny batch) doesn't pass the UNPADDED S=197 gate
+        x = jnp.zeros((8, S, W))
+        transformer(x, p, 4, remat=remat)
+        return list(calls)
+
+    wide = L._FLAT_FWD_ONLY_MAX_W + 256
+    # W > gate, fwd-only: stays composed-3D (no flat call, no padding)
+    assert run(wide, 197, False) == []
+    # W > gate, training: pads 197 -> 200 into the flat path
+    assert run(wide, 197, "mlp") == [(200, 197)]
+    # W <= gate: flat in both passes
+    assert run(512, 197, False) == [(200, 197)]
+    assert run(512, 197, "mlp") == [(200, 197)]
+    # short-S: flat path regardless of width/remat (unpadded)
+    assert run(wide, 50, False) == [(50, None)]
