@@ -440,6 +440,33 @@ def _flat_want(S: int) -> int:
     return 4
 
 
+# Experiment override for the short-S core formulation: None = default
+# policy; {"fwd": bool, "bwd": bool} forces row-blocked cores per pass at
+# S <= 128 where legal (experiments/bench_text_rowcore.py).
+_ROW_CORE_OVERRIDE: "dict | None" = None
+
+
+def _row_core(S: int, bwd: bool) -> bool:
+    """Core formulation for the flat sublayer kernels: block-diagonal (one
+    masked [M, M] dot per head) vs row-blocked (one exact [S, S] dot per
+    batch row and head). Row slicing needs 8-aligned sublane offsets, so the
+    row-blocked form is only legal when ``S % 8 == 0``.
+
+    S > 128 is always row-blocked (a [M, M] block-diag core would waste
+    (bb-1)/bb of a no-longer-small share of program FLOPs) — those
+    geometries reach the flat path via padding, so S % 8 == 0 holds there.
+    At S <= 128 the choice is measured per pass (the backward core is 7
+    dots/head vs the forward's 2, so block-diag waste bites ~3.5x harder in
+    the backward)."""
+    if S > 128:
+        return True
+    if S % 8:
+        return False
+    if _ROW_CORE_OVERRIDE is not None:
+        return bool(_ROW_CORE_OVERRIDE.get("bwd" if bwd else "fwd", False))
+    return False
+
+
 def _sublayer_block_b(B: int, S: int, want: int) -> "int | None":
     """Pick block_b for the flat-token sublayer kernels: needs ``B % bb == 0``
     and ``(bb*S) % 8 == 0`` (Mosaic sublane divisibility), except ``bb == B``
@@ -492,9 +519,11 @@ def _row_mask(S: int, causal: bool, s_valid: "int | None"):
 
 
 def _attn_sublayer_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                          wout_ref, bout_ref, o_ref, *, heads: int, eps: float,
+                          wout_ref, bout_ref, o_ref, qkv_out_ref=None, *,
+                          heads: int, eps: float,
                           causal: bool, S: int,
-                          s_valid: "int | None" = None):
+                          s_valid: "int | None" = None,
+                          row_core: bool = False):
     """One program = ``block_b`` batch rows, flattened to ``M = block_b*S``
     token rows (the flatten happens OUTSIDE the kernel, where [B,S,W] →
     [B*S,W] is a free contiguous reshape — an in-kernel reshape of a
@@ -526,7 +555,11 @@ def _attn_sublayer_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         jnp.dot(ln, wqkv_ref[:], preferred_element_type=jnp.float32)
         + bqkv_ref[:]
     ).astype(xb.dtype)
-    if S <= 128:
+    if qkv_out_ref is not None:
+        # save-qkv training mode: emit the QKV activations so the dW-split
+        # backward kernel can skip its recompute matmul (_BWD_MODE)
+        qkv_out_ref[:] = qkv
+    if not row_core:
         # block-diagonal core: ONE [M, M] masked dot per head (core waste
         # ∝ block_b is ~3% of program FLOPs at these S)
         mask = _blockdiag_mask(M, S, causal, s_valid)
@@ -553,10 +586,11 @@ def _attn_sublayer_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
             )
         ctx = jnp.concatenate(ctx_cols, axis=-1)  # [M, W]
     else:
-        # row-blocked core (S > 128): each batch row's attention is its own
-        # exact [S, S] dot — zero core waste at any block_b, so dense ops
-        # still run at M = block_b*S rows (at S=264 a block-diag [M, M]
-        # would waste (bb-1)/bb of a core that is no longer a small share)
+        # row-blocked core: each batch row's attention is its own exact
+        # [S, S] dot — zero core waste at any block_b, so dense ops still
+        # run at M = block_b*S rows (at S=264 a block-diag [M, M] would
+        # waste (bb-1)/bb of a core that is no longer a small share). Needs
+        # S % 8 == 0 (aligned row offsets) — see _row_core.
         mask = _row_mask(S, causal, s_valid)
         ctx_rows = []
         for rb in range(M // S):
@@ -591,7 +625,8 @@ def _attn_sublayer_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
 def _pallas_attn_sublayer_flat(x2, ln_p, attn_p, S, heads, causal, eps,
                                block_b: "int | None" = None,
                                interpret: bool = False,
-                               s_valid: "int | None" = None):
+                               s_valid: "int | None" = None,
+                               emit_qkv: bool = False):
     # block_b=4 (M=200 token rows) measured best on v5e for the flat
     # block-diag kernel at ViT-B/32 b512: 17.9 ms/stack vs 19.8 at 8 and
     # 28.5 at 16 — bigger blocks raise the block-diag core's wasted FLOPs
@@ -605,9 +640,26 @@ def _pallas_attn_sublayer_flat(x2, ln_p, attn_p, S, heads, causal, eps,
     wqkv = attn_p["qkv"]["kernel"].astype(x2.dtype)
     wout = attn_p["out"]["kernel"].astype(x2.dtype)
     const = lambda b: (0,)
+    out_specs = pl.BlockSpec((M, W), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((N, W), x2.dtype)
+    if emit_qkv:
+        out_specs = [out_specs,
+                     pl.BlockSpec((M, 3 * W), lambda b: (b, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((N, 3 * W), x2.dtype)]
+
+    def kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
+               bout_ref, o_ref, *rest):
+        _attn_sublayer_kernel(
+            x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+            o_ref, rest[0] if rest else None, heads=heads, eps=eps,
+            causal=causal, S=S, s_valid=s_valid,
+            row_core=_row_core(S, bwd=False))
+
     return pl.pallas_call(
-        functools.partial(_attn_sublayer_kernel, heads=heads, eps=eps,
-                          causal=causal, S=S, s_valid=s_valid),
+        kernel,
         grid=(B // block_b,),
         in_specs=[
             pl.BlockSpec((M, W), lambda b: (b, 0), memory_space=pltpu.VMEM),
@@ -618,9 +670,8 @@ def _pallas_attn_sublayer_flat(x2, ln_p, attn_p, S, heads, causal, eps,
             pl.BlockSpec((W, W), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((M, W), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, W), x2.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -706,7 +757,8 @@ def _attn_sublayer_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
                               bqkv_ref, wout_ref, dx_ref, dlns_ref, dlnb_ref,
                               dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref, *,
                               heads: int, eps: float, causal: bool,
-                              S: int, s_valid: "int | None" = None):
+                              S: int, s_valid: "int | None" = None,
+                              row_core: bool = False):
     """Hand-written backward for the fused attention sublayer (VERDICT r1 #2).
 
     One program per batch-block: recomputes LN1/QKV/softmax in VMEM
@@ -810,10 +862,10 @@ def _attn_sublayer_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
         return (jnp.concatenate(ctx_cols, axis=-1),
                 jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1))
 
-    if S <= 128:
+    if not row_core:
         ctx, dqkv = core_bwd(qkv, dctx, _blockdiag_mask(M, S, causal, s_valid))
     else:
-        # row-blocked core (S > 128) — see _attn_sublayer_kernel
+        # row-blocked core — see _attn_sublayer_kernel / _row_core
         mask = _row_mask(S, causal, s_valid)
         ctx_rows, dqkv_rows = [], []
         for rb in range(M // S):
@@ -849,6 +901,216 @@ def _attn_sublayer_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
     dx_ref[:] = gyb + dx_ln.astype(xb.dtype)
 
 
+def _attn_sublayer_bwd_split_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
+                                    bqkv_ref, wout_ref, dx_ref, dqkv_out_ref,
+                                    ctx_ref, ln_ref, dlns_ref, dlnb_ref, *,
+                                    heads: int, eps: float, causal: bool,
+                                    S: int, s_valid: "int | None" = None,
+                                    row_core: bool = False,
+                                    qkv_ref=None):
+    """dW-split backward: the kernel owns only the serial dx chain — dctx,
+    the attention-core backward, dln, and the LN backward — and EMITS the
+    operands XLA needs for the weight grads (ln, ctx, dqkv). The dWqkv/dWout
+    matmuls then run as ordinary XLA dot+dynamic-update-slice fusions in the
+    backward scan, exactly like the MLP half's dW, which the round-3
+    profiler measured at ~90% of peak vs ~60-70% for the same matmuls
+    inside this kernel's serial instruction stream. The extra [M, 5W]
+    activation traffic is hidden: the kernel and the dW dots are both
+    compute-bound at CLIP widths.
+
+    With ``qkv_ref`` (save-qkv mode) the forward's QKV activations are read
+    back instead of recomputed — removing the kernel's one remaining big
+    matmul (3U = 2*M*W*3W) at +[N, 3W] bf16 of residual memory per layer."""
+    M, W = x_ref.shape
+    D = W // heads
+    scale = D ** -0.5
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        dlns_ref[:] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+
+    lns32 = lns_ref[:].astype(jnp.float32)
+    lnb32 = lnb_ref[:].astype(jnp.float32)
+    xb = x_ref[:]
+    gyb = g_ref[:]
+    x32 = xb.astype(jnp.float32)
+    mean = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), -1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x32 - mean) * rstd
+    ln = (xhat * lns32 + lnb32).astype(xb.dtype)
+    if qkv_ref is not None:
+        qkv = qkv_ref[:]
+    else:
+        qkv = (
+            jnp.dot(ln, wqkv_ref[:], preferred_element_type=jnp.float32)
+            + bqkv_ref[:]
+        ).astype(xb.dtype)
+    dctx = jax.lax.dot_general(
+        gyb, wout_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(xb.dtype)
+
+    def core_bwd(qkv_b, dctx_b, mask):
+        ctx_cols, dq_cols, dk_cols, dv_cols = [], [], [], []
+        for h in range(heads):
+            q = qkv_b[:, h * D:(h + 1) * D]
+            k = qkv_b[:, W + h * D:W + (h + 1) * D]
+            v = qkv_b[:, 2 * W + h * D:2 * W + (h + 1) * D]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            logits = jnp.where(mask, logits, -jnp.inf)
+            m = jnp.max(logits, -1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, -1, keepdims=True)
+            ctx_cols.append(
+                jnp.dot(p.astype(xb.dtype), v,
+                        preferred_element_type=jnp.float32).astype(xb.dtype))
+            gh = dctx_b[:, h * D:(h + 1) * D]
+            p_c = p.astype(xb.dtype)
+            dv = jax.lax.dot_general(
+                p_c, gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                gh, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = (p * (dp - dsum)).astype(xb.dtype)
+            dq_cols.append(
+                (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                 * scale).astype(xb.dtype))
+            dk_cols.append(
+                (jax.lax.dot_general(
+                    ds, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale).astype(xb.dtype))
+            dv_cols.append(dv.astype(xb.dtype))
+        return (jnp.concatenate(ctx_cols, axis=-1),
+                jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1))
+
+    if not row_core:
+        ctx, dqkv = core_bwd(qkv, dctx, _blockdiag_mask(M, S, causal, s_valid))
+    else:
+        mask = _row_mask(S, causal, s_valid)
+        ctx_rows, dqkv_rows = [], []
+        for rb in range(M // S):
+            sl = slice(rb * S, (rb + 1) * S)
+            c_rb, d_rb = core_bwd(qkv[sl], dctx[sl], mask)
+            ctx_rows.append(c_rb)
+            dqkv_rows.append(d_rb)
+        ctx = jnp.concatenate(ctx_rows, axis=0)
+        dqkv = jnp.concatenate(dqkv_rows, axis=0)
+    ctx_ref[:] = ctx
+    ln_ref[:] = ln
+    dqkv_out_ref[:] = dqkv
+    dln = jax.lax.dot_general(
+        dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dlns_ref[:] += jnp.sum(dln * xhat, axis=0)
+    dlnb_ref[:] += jnp.sum(dln, axis=0)
+    dxhat = dln * lns32
+    dx_ln = rstd * (
+        dxhat
+        - jnp.mean(dxhat, -1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, -1, keepdims=True)
+    )
+    dx_ref[:] = gyb + dx_ln.astype(xb.dtype)
+
+
+def _pallas_attn_sublayer_bwd_split(x2, g2, ln_p, attn_p, S, heads, causal,
+                                    eps, block_b: "int | None" = None,
+                                    interpret: bool = False,
+                                    s_valid: "int | None" = None,
+                                    qkv2=None):
+    """Returns (dx2, dln_p, dattn_p) like `_pallas_attn_sublayer_bwd_flat`,
+    but with the dWqkv/dWout matmuls done by XLA on kernel-emitted operands
+    (see `_attn_sublayer_bwd_split_kernel`). ``qkv2``: forward-saved QKV
+    activations (save-qkv mode) — skips the in-kernel QKV recompute."""
+    N, W = x2.shape
+    B = N // S
+    if block_b is None:
+        block_b = _sublayer_block_b(B, S, want=_flat_want(S))
+    M = block_b * S
+    wqkv = attn_p["qkv"]["kernel"].astype(x2.dtype)
+    wout = attn_p["out"]["kernel"].astype(x2.dtype)
+    const = lambda b: (0,)
+    mat = lambda b: (0, 0)
+    row = lambda b: (b, 0)
+    f32 = jnp.float32
+    in_specs = [
+        pl.BlockSpec((M, W), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((M, W), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((W, 3 * W), mat, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * W,), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((W, W), mat, memory_space=pltpu.VMEM),
+    ]
+    args = [x2, g2, ln_p["scale"], ln_p["bias"], wqkv,
+            attn_p["qkv"]["bias"], wout]
+    kern = functools.partial(
+        _attn_sublayer_bwd_split_kernel, heads=heads, eps=eps, causal=causal,
+        S=S, s_valid=s_valid, row_core=_row_core(S, bwd=True))
+    if qkv2 is not None:
+        in_specs.append(pl.BlockSpec((M, 3 * W), row, memory_space=pltpu.VMEM))
+        args.append(qkv2)
+
+        def kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                   wout_ref, qkv_ref, *out_refs):
+            kern(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                 wout_ref, *out_refs, qkv_ref=qkv_ref)
+    else:
+        kernel = kern
+    dx, dqkv, ctx, ln, dlns, dlnb = pl.pallas_call(
+        kernel,
+        grid=(B // block_b,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((M, W), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, 3 * W), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, W), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, W), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W,), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, W), x2.dtype),
+            jax.ShapeDtypeStruct((N, 3 * W), x2.dtype),
+            jax.ShapeDtypeStruct((N, W), x2.dtype),
+            jax.ShapeDtypeStruct((N, W), x2.dtype),
+            jax.ShapeDtypeStruct((W,), f32),
+            jax.ShapeDtypeStruct((W,), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*args)
+    # Weight grads as plain XLA dots (dot + DUS fusions in the bwd scan,
+    # ~90% of peak); fp32 accumulation matches the fused kernel's.
+    dwqkv = jax.lax.dot_general(
+        ln, dqkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=0)
+    dwout = jax.lax.dot_general(
+        ctx, g2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbout = jnp.sum(g2.astype(jnp.float32), axis=0)
+    pdt = ln_p["scale"].dtype
+    dln_p = {"scale": dlns.astype(pdt), "bias": dlnb.astype(pdt)}
+    dattn_p = {
+        "qkv": {"kernel": dwqkv.astype(attn_p["qkv"]["kernel"].dtype),
+                "bias": dbqkv.astype(attn_p["qkv"]["bias"].dtype)},
+        "out": {"kernel": dwout.astype(attn_p["out"]["kernel"].dtype),
+                "bias": dbout.astype(attn_p["out"]["bias"].dtype)},
+    }
+    return dx, dln_p, dattn_p
+
+
 def _pallas_attn_sublayer_bwd_flat(x2, g2, ln_p, attn_p, S, heads, causal,
                                    eps, block_b: "int | None" = None,
                                    interpret: bool = False,
@@ -867,7 +1129,8 @@ def _pallas_attn_sublayer_bwd_flat(x2, g2, ln_p, attn_p, S, heads, causal,
     f32 = jnp.float32
     dx, dlns, dlnb, dwqkv, dbqkv, dwout, dbout = pl.pallas_call(
         functools.partial(_attn_sublayer_bwd_kernel, heads=heads, eps=eps,
-                          causal=causal, S=S, s_valid=s_valid),
+                          causal=causal, S=S, s_valid=s_valid,
+                          row_core=_row_core(S, bwd=True)),
         grid=(B // block_b,),
         in_specs=[
             pl.BlockSpec((M, W), lambda b: (b, 0), memory_space=pltpu.VMEM),
@@ -982,6 +1245,17 @@ def _jnp_sublayer_flat_dispatch(x2, ln_p, attn_p, S, heads, causal, eps,
     return out.reshape(N, W)
 
 
+# Backward formulation for the flat sublayer (trace-time policy):
+#   "fused"          — one Pallas kernel owns dx AND the dWqkv/dWout matmuls
+#                      (fp32 accumulators in VMEM across the grid)
+#   "dwsplit"        — kernel owns only the serial dx chain and emits
+#                      (ln, ctx, dqkv); XLA runs the dW matmuls
+#   "dwsplit_saveqkv"— dwsplit + the forward saves QKV activations so the
+#                      backward kernel skips its recompute matmul
+#                      (+[N, 3W] bf16 residual memory per layer)
+_BWD_MODE = "fused"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def attention_sublayer_flat(x2, ln_p, attn_p, S: int, heads: int,
                             causal: bool = False, eps: float = 1e-5,
@@ -1002,16 +1276,27 @@ def attention_sublayer_flat(x2, ln_p, attn_p, S: int, heads: int,
 
 
 def _sub_flat_fwd(x2, ln_p, attn_p, S, heads, causal, eps, s_valid):
+    if (_BWD_MODE == "dwsplit_saveqkv"
+            and _flat_pallas_ok(x2.shape[0], S, attn_p)):
+        out, qkv = _pallas_attn_sublayer_flat(x2, ln_p, attn_p, S, heads,
+                                              causal, eps, s_valid=s_valid,
+                                              emit_qkv=True)
+        return out, (x2, qkv, ln_p, attn_p)
     return (attention_sublayer_flat(x2, ln_p, attn_p, S, heads, causal, eps,
                                     s_valid),
-            (x2, ln_p, attn_p))
+            (x2, None, ln_p, attn_p))
 
 
 def _sub_flat_bwd(S, heads, causal, eps, s_valid, res, g):
-    x2, ln_p, attn_p = res
+    x2, qkv2, ln_p, attn_p = res
     if _flat_pallas_ok(x2.shape[0], S, attn_p):
-        out = _pallas_attn_sublayer_bwd_flat(x2, g, ln_p, attn_p, S, heads,
-                                             causal, eps, s_valid=s_valid)
+        if _BWD_MODE == "fused":
+            out = _pallas_attn_sublayer_bwd_flat(
+                x2, g, ln_p, attn_p, S, heads, causal, eps, s_valid=s_valid)
+        else:
+            out = _pallas_attn_sublayer_bwd_split(
+                x2, g, ln_p, attn_p, S, heads, causal, eps, s_valid=s_valid,
+                qkv2=qkv2)
         # Barrier between the kernel's weight-grad outputs and the scan's
         # dynamic-update-slice accumulation: without it XLA fuses the DUS
         # into the pallas-call fusion and the fused scoped allocation

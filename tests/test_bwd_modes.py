@@ -1,0 +1,136 @@
+"""Backward-formulation variants of the flat attention sublayer:
+
+- dW-split kernel (`_pallas_attn_sublayer_bwd_split`): dx chain in Pallas,
+  dWqkv/dWout as XLA dots on kernel-emitted (ln, ctx, dqkv) — grad parity
+  vs the composed-path `jax.vjp` oracle.
+- save-qkv forward (`emit_qkv=True`): emitted QKV activations feed the split
+  backward so it skips its recompute matmul — output + grad parity.
+- row-blocked core at S <= 128 (`_ROW_CORE_OVERRIDE`): legal when S % 8 == 0
+  (measured neutral-to-negative on v5e, kept as an experiment switch — this
+  pins that the formulation stays exact).
+
+All in Pallas interpret mode on small shapes (CPU-safe)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import plip_tpu.ops.attention as A
+
+
+def _mk(B, S, W, heads, causal, seed=0):
+    key = jax.random.PRNGKey(seed)
+    k0, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
+    x = jax.random.normal(k0, (B * S, W), jnp.float32) * 0.5
+    ln_p = {"scale": jnp.ones((W,)) * 1.1, "bias": jnp.zeros((W,)) + 0.05}
+    attn_p = {
+        "qkv": {"kernel": jax.random.normal(k1, (W, 3 * W)) * 0.02,
+                "bias": jax.random.normal(k2, (3 * W,)) * 0.01},
+        "out": {"kernel": jax.random.normal(k3, (W, W)) * 0.02,
+                "bias": jax.random.normal(k4, (W,)) * 0.01},
+    }
+    g = jax.random.normal(k5, (B * S, W)) * 0.3
+    return x, ln_p, attn_p, g
+
+
+def _oracle(x, ln_p, attn_p, g, S, heads, causal):
+    def composed(x, lp, ap):
+        return A._jnp_sublayer_flat_dispatch(x, lp, ap, S, heads, causal,
+                                             1e-5, None)
+    out, vjp = jax.vjp(composed, x, ln_p, attn_p)
+    return (out,) + vjp(g)
+
+
+def _assert_grads_close(got, want, tol=2e-5):
+    dx_g, dlp_g, dap_g = got
+    dx_w, dlp_w, dap_w = want
+    np.testing.assert_allclose(np.asarray(dx_g), np.asarray(dx_w),
+                               rtol=tol, atol=tol)
+    for leaf_g, leaf_w in zip(jax.tree.leaves((dlp_g, dap_g)),
+                              jax.tree.leaves((dlp_w, dap_w))):
+        np.testing.assert_allclose(np.asarray(leaf_g), np.asarray(leaf_w),
+                                   rtol=tol, atol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_dwsplit_bwd_matches_oracle(causal):
+    B, S, W, heads = 4, 24, 128, 2
+    x, ln_p, attn_p, g = _mk(B, S, W, heads, causal)
+    _, dx_w, dlp_w, dap_w = _oracle(x, ln_p, attn_p, g, S, heads, causal)
+    got = A._pallas_attn_sublayer_bwd_split(
+        x, g, ln_p, attn_p, S, heads, causal, 1e-5, block_b=2,
+        interpret=True)
+    _assert_grads_close(got, (dx_w, dlp_w, dap_w))
+
+
+def test_dwsplit_matches_fused_kernel():
+    """The two hand-written backwards must agree with each other too."""
+    B, S, W, heads = 4, 24, 128, 2
+    x, ln_p, attn_p, g = _mk(B, S, W, heads, False, seed=3)
+    fused = A._pallas_attn_sublayer_bwd_flat(
+        x, g, ln_p, attn_p, S, heads, False, 1e-5, block_b=2, interpret=True)
+    split = A._pallas_attn_sublayer_bwd_split(
+        x, g, ln_p, attn_p, S, heads, False, 1e-5, block_b=2, interpret=True)
+    _assert_grads_close(split, fused)
+
+
+def test_saveqkv_roundtrip():
+    """Forward emit_qkv output == plain forward; split backward fed the
+    saved QKV == recompute path."""
+    B, S, W, heads = 4, 24, 128, 2
+    x, ln_p, attn_p, g = _mk(B, S, W, heads, True, seed=5)
+    out_plain = A._pallas_attn_sublayer_flat(
+        x, ln_p, attn_p, S, heads, True, 1e-5, block_b=2, interpret=True)
+    out_emit, qkv = A._pallas_attn_sublayer_flat(
+        x, ln_p, attn_p, S, heads, True, 1e-5, block_b=2, interpret=True,
+        emit_qkv=True)
+    np.testing.assert_array_equal(np.asarray(out_plain), np.asarray(out_emit))
+    rec = A._pallas_attn_sublayer_bwd_split(
+        x, g, ln_p, attn_p, S, heads, True, 1e-5, block_b=2, interpret=True)
+    sav = A._pallas_attn_sublayer_bwd_split(
+        x, g, ln_p, attn_p, S, heads, True, 1e-5, block_b=2, interpret=True,
+        qkv2=qkv)
+    _assert_grads_close(sav, rec, tol=1e-6)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_row_core_override_exact(causal):
+    """Row-blocked core at S % 8 == 0 is exact vs block-diag (fwd + bwd)."""
+    B, S, W, heads = 4, 16, 128, 2
+    x, ln_p, attn_p, g = _mk(B, S, W, heads, causal, seed=7)
+    base_f = A._pallas_attn_sublayer_flat(
+        x, ln_p, attn_p, S, heads, causal, 1e-5, block_b=2, interpret=True)
+    base_b = A._pallas_attn_sublayer_bwd_flat(
+        x, g, ln_p, attn_p, S, heads, causal, 1e-5, block_b=2,
+        interpret=True)
+    A._ROW_CORE_OVERRIDE = {"fwd": True, "bwd": True}
+    try:
+        row_f = A._pallas_attn_sublayer_flat(
+            x, ln_p, attn_p, S, heads, causal, 1e-5, block_b=2,
+            interpret=True)
+        row_b = A._pallas_attn_sublayer_bwd_flat(
+            x, g, ln_p, attn_p, S, heads, causal, 1e-5, block_b=2,
+            interpret=True)
+    finally:
+        A._ROW_CORE_OVERRIDE = None
+    np.testing.assert_allclose(np.asarray(base_f), np.asarray(row_f),
+                               rtol=1e-6, atol=1e-6)
+    _assert_grads_close(row_b, base_b, tol=1e-6)
+
+
+def test_row_core_policy():
+    """Default policy: row-blocked only above S=128; S % 8 != 0 never."""
+    assert A._row_core(264, bwd=True) is True
+    assert A._row_core(264, bwd=False) is True
+    assert A._row_core(80, bwd=True) is False
+    assert A._row_core(80, bwd=False) is False
+    assert A._row_core(50, bwd=True) is False
+    A._ROW_CORE_OVERRIDE = {"fwd": False, "bwd": True}
+    try:
+        assert A._row_core(80, bwd=True) is True
+        assert A._row_core(80, bwd=False) is False
+        assert A._row_core(50, bwd=True) is False  # unaligned: never legal
+    finally:
+        A._ROW_CORE_OVERRIDE = None
