@@ -33,7 +33,7 @@ except ImportError:  # pragma: no cover
 
 
 def _mha_kernel(qkv_ref, out_ref, *, heads: int, head_dim: int, causal: bool,
-                block_b: int):
+                block_b: int, s_valid: "int | None" = None):
     W = heads * head_dim
     scale = head_dim ** -0.5
     S = qkv_ref.shape[1]
@@ -48,10 +48,9 @@ def _mha_kernel(qkv_ref, out_ref, *, heads: int, head_dim: int, causal: bool,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [S, S]
-            if causal:
-                row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-                col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-                logits = jnp.where(col <= row, logits, -jnp.inf)
+            if causal or (s_valid is not None and s_valid < S):
+                logits = jnp.where(_row_mask(S, causal, s_valid), logits,
+                                   -jnp.inf)
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -60,7 +59,8 @@ def _mha_kernel(qkv_ref, out_ref, *, heads: int, head_dim: int, causal: bool,
 
 
 def _pallas_mha(qkv: jnp.ndarray, heads: int, causal: bool,
-                block_b: int = 1, interpret: bool = False) -> jnp.ndarray:
+                block_b: int = 1, interpret: bool = False,
+                s_valid: "int | None" = None) -> jnp.ndarray:
     # block_b=1 measured fastest on v5e (smaller blocks pipeline better:
     # 11.5k img/s vs 8.8k at block_b=8 for ViT-B/32 batch-512 encode)
     B, S, W3 = qkv.shape
@@ -70,7 +70,8 @@ def _pallas_mha(qkv: jnp.ndarray, heads: int, causal: bool,
         block_b //= 2
     grid = (B // block_b,)
     kernel = functools.partial(
-        _mha_kernel, heads=heads, head_dim=head_dim, causal=causal, block_b=block_b
+        _mha_kernel, heads=heads, head_dim=head_dim, causal=causal,
+        block_b=block_b, s_valid=s_valid
     )
     return pl.pallas_call(
         kernel,
@@ -87,7 +88,8 @@ def _pallas_mha(qkv: jnp.ndarray, heads: int, causal: bool,
 
 
 def _mha_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads: int, head_dim: int,
-                    causal: bool, block_b: int):
+                    causal: bool, block_b: int,
+                    s_valid: "int | None" = None):
     """dQKV for the fused attention. Per (batch row, head): recompute P in
     fp32, then the standard softmax-attention backward:
 
@@ -116,10 +118,9 @@ def _mha_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads: int, head_dim: int,
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
-            if causal:
-                row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-                col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-                logits = jnp.where(col <= row, logits, -jnp.inf)
+            if causal or (s_valid is not None and s_valid < S):
+                logits = jnp.where(_row_mask(S, causal, s_valid), logits,
+                                   -jnp.inf)
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)  # [S, S] fp32
@@ -148,7 +149,8 @@ def _mha_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads: int, head_dim: int,
 
 
 def _pallas_mha_bwd(qkv: jnp.ndarray, g: jnp.ndarray, heads: int, causal: bool,
-                    block_b: int = 1, interpret: bool = False) -> jnp.ndarray:
+                    block_b: int = 1, interpret: bool = False,
+                    s_valid: "int | None" = None) -> jnp.ndarray:
     B, S, W3 = qkv.shape
     W = W3 // 3
     head_dim = W // heads
@@ -156,7 +158,7 @@ def _pallas_mha_bwd(qkv: jnp.ndarray, g: jnp.ndarray, heads: int, causal: bool,
         block_b //= 2
     kernel = functools.partial(
         _mha_bwd_kernel, heads=heads, head_dim=head_dim, causal=causal,
-        block_b=block_b,
+        block_b=block_b, s_valid=s_valid,
     )
     return pl.pallas_call(
         kernel,
@@ -354,7 +356,8 @@ def _pallas_flash_mha(qkv: jnp.ndarray, heads: int, causal: bool,
     )(qkv, qkv)
 
 
-def _jnp_mha(qkv: jnp.ndarray, heads: int, causal: bool) -> jnp.ndarray:
+def _jnp_mha(qkv: jnp.ndarray, heads: int, causal: bool,
+             s_valid: "int | None" = None) -> jnp.ndarray:
     """Reference formulation (identical math, XLA lowering)."""
     B, S, W3 = qkv.shape
     W = W3 // 3
@@ -368,6 +371,9 @@ def _jnp_mha(qkv: jnp.ndarray, heads: int, causal: bool) -> jnp.ndarray:
     if causal:
         mask = jnp.triu(jnp.full((S, S), -jnp.inf, jnp.float32), k=1)
         logits = logits + mask
+    if s_valid is not None and s_valid < S:
+        logits = jnp.where(jnp.arange(S)[None, None, None, :] < s_valid,
+                           logits, -jnp.inf)
     probs = jax.nn.softmax(logits, axis=-1).astype(qkv.dtype)
     ctx = jnp.einsum("bhst,bthd->bshd", probs, v, preferred_element_type=jnp.float32)
     return ctx.astype(qkv.dtype).reshape(B, S, W)
@@ -382,28 +388,34 @@ def _use_pallas() -> bool:
         return False
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def fused_attention(qkv: jnp.ndarray, heads: int, causal: bool = False) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fused_attention(qkv: jnp.ndarray, heads: int, causal: bool = False,
+                    s_valid: "int | None" = None) -> jnp.ndarray:
     """[B, S, 3W] fused-QKV activations -> [B, S, W] attention context.
+
+    ``s_valid``: exclude key/value positions >= s_valid (sequence padded
+    S_real -> S; pad-row outputs are garbage the caller slices away).
 
     Dispatch (all measured on v5e, PERF.md): the per-batch-row kernel wins
     for every CLIP-family sequence length INCLUDING ViT-L/14's S=257 — at 257
     it ran 790 img/s vs 772 (head-group grid) and 724 (q-blocked flash), i.e.
     the 16-head in-program unroll costs less than grid-program overhead at
     this scale. The q-blocked flash grid takes over for S > 512, where the
-    per-row kernel's whole-row logits would exhaust VMEM."""
-    if _use_pallas():
-        if qkv.shape[1] > 512:
-            return _pallas_flash_mha(qkv, heads, causal)
-        return _pallas_mha(qkv, heads, causal)
-    return _jnp_mha(qkv, heads, causal)
+    per-row kernel's whole-row logits would exhaust VMEM (s_valid masking is
+    plumbed only through the per-row kernel; long-S padded sequences take
+    the jnp path)."""
+    if _use_pallas() and qkv.shape[1] <= 512:
+        return _pallas_mha(qkv, heads, causal, s_valid=s_valid)
+    if _use_pallas() and qkv.shape[1] > 512 and s_valid is None:
+        return _pallas_flash_mha(qkv, heads, causal)
+    return _jnp_mha(qkv, heads, causal, s_valid)
 
 
-def _fwd(qkv, heads, causal):
-    return fused_attention(qkv, heads, causal), qkv
+def _fwd(qkv, heads, causal, s_valid):
+    return fused_attention(qkv, heads, causal, s_valid), qkv
 
 
-def _bwd(heads, causal, qkv, g):
+def _bwd(heads, causal, s_valid, qkv, g):
     # Mirror the forward's S-threshold: above 512 the forward takes the
     # q-blocked flash kernel precisely because whole-row [S, S] per-head
     # logits would exhaust VMEM — the whole-row backward kernel has the same
@@ -411,8 +423,8 @@ def _bwd(heads, causal, qkv, g):
     # HBM logits) is the correct long-S fallback; latent-only for the CLIP
     # family (max S=257), but the op's contract covers arbitrary S.
     if _use_pallas() and qkv.shape[1] <= 512:
-        return (_pallas_mha_bwd(qkv, g, heads, causal),)
-    _, vjp = jax.vjp(lambda a: _jnp_mha(a, heads, causal), qkv)
+        return (_pallas_mha_bwd(qkv, g, heads, causal, s_valid=s_valid),)
+    _, vjp = jax.vjp(lambda a: _jnp_mha(a, heads, causal, s_valid), qkv)
     return vjp(g)
 
 
@@ -693,13 +705,16 @@ def _pallas_attn_sublayer(x, ln_p, attn_p, heads, causal, eps,
     return out.reshape(B, S, W)
 
 
-def _jnp_attn_sublayer(x, ln_p, attn_p, heads, causal, eps):
+def _jnp_attn_sublayer(x, ln_p, attn_p, heads, causal, eps,
+                       s_valid: "int | None" = None):
     """Composed reference path (identical math). Uses fused_attention, so the
-    attention core itself still takes the Pallas fwd/bwd on TPU."""
+    attention core itself still takes the Pallas fwd/bwd on TPU — including
+    PAD-column masking via ``s_valid`` (in-kernel iota compare), which keeps
+    the composed padded path off the einsum [B, H, S, S] HBM round-trip."""
     from ..models.layers import layer_norm, linear
 
     qkv = linear(layer_norm(x, ln_p, eps), attn_p["qkv"])
-    ctx = fused_attention(qkv, heads, causal)
+    ctx = fused_attention(qkv, heads, causal, s_valid)
     return x + linear(ctx, attn_p["out"])
 
 
@@ -1237,11 +1252,7 @@ def _jnp_sublayer_flat_dispatch(x2, ln_p, attn_p, S, heads, causal, eps,
                                 s_valid):
     N, W = x2.shape
     x3 = x2.reshape(N // S, S, W)
-    if s_valid is not None and s_valid < S:
-        out = _jnp_attn_sublayer_masked(x3, ln_p, attn_p, heads, causal,
-                                        eps, s_valid)
-    else:
-        out = _jnp_attn_sublayer(x3, ln_p, attn_p, heads, causal, eps)
+    out = _jnp_attn_sublayer(x3, ln_p, attn_p, heads, causal, eps, s_valid)
     return out.reshape(N, W)
 
 
@@ -1254,6 +1265,22 @@ def _jnp_sublayer_flat_dispatch(x2, ln_p, attn_p, S, heads, causal, eps,
 #                      backward kernel skips its recompute matmul
 #                      (+[N, 3W] bf16 residual memory per layer)
 _BWD_MODE = "fused"
+
+# Training-forward formulation for wide towers (trace-time policy; None =
+# default rule below, True/False force). The fused flat fwd kernel measured
+# SLOWER than the composed XLA path at W=1024 forward-only (L/14 encode 75.6
+# vs 77.5 ms — models/layers._FLAT_FWD_ONLY_MAX_W); the custom-VJP boundary
+# makes the passes independent, so training can take the composed forward
+# (XLA dense at ~90% + per-row Pallas core, s_valid-masked) while keeping
+# the flat Pallas backward kernel. Legal whenever S % 8 == 0, where the
+# [N, W] <-> [B, S, W] reshape is layout-free.
+_TRAIN_FWD_COMPOSED_OVERRIDE: "bool | None" = None
+
+
+def _train_fwd_composed(W: int, S: int) -> bool:
+    if _TRAIN_FWD_COMPOSED_OVERRIDE is not None:
+        return bool(_TRAIN_FWD_COMPOSED_OVERRIDE) and S % 8 == 0
+    return W > 768 and S % 8 == 0
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
@@ -1276,12 +1303,18 @@ def attention_sublayer_flat(x2, ln_p, attn_p, S: int, heads: int,
 
 
 def _sub_flat_fwd(x2, ln_p, attn_p, S, heads, causal, eps, s_valid):
-    if (_BWD_MODE == "dwsplit_saveqkv"
-            and _flat_pallas_ok(x2.shape[0], S, attn_p)):
-        out, qkv = _pallas_attn_sublayer_flat(x2, ln_p, attn_p, S, heads,
-                                              causal, eps, s_valid=s_valid,
-                                              emit_qkv=True)
-        return out, (x2, qkv, ln_p, attn_p)
+    if _flat_pallas_ok(x2.shape[0], S, attn_p):
+        if _BWD_MODE == "dwsplit_saveqkv":
+            out, qkv = _pallas_attn_sublayer_flat(
+                x2, ln_p, attn_p, S, heads, causal, eps, s_valid=s_valid,
+                emit_qkv=True)
+            return out, (x2, qkv, ln_p, attn_p)
+        if _train_fwd_composed(x2.shape[1], S):
+            # Hybrid: composed forward (its measured winner at this width)
+            # with the flat Pallas kernel still owning the backward.
+            out = _jnp_sublayer_flat_dispatch(x2, ln_p, attn_p, S, heads,
+                                              causal, eps, s_valid)
+            return out, (x2, None, ln_p, attn_p)
     return (attention_sublayer_flat(x2, ln_p, attn_p, S, heads, causal, eps,
                                     s_valid),
             (x2, None, ln_p, attn_p))

@@ -134,3 +134,48 @@ def test_row_core_policy():
         assert A._row_core(50, bwd=True) is False  # unaligned: never legal
     finally:
         A._ROW_CORE_OVERRIDE = None
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_mha_core_s_valid(causal):
+    """fused_attention's per-row kernel masks PAD columns >= s_valid
+    identically to the jnp reference (fwd + bwd kernels, interpret mode)."""
+    B, S, H, D = 2, 24, 2, 8
+    rng = np.random.default_rng(11)
+    qkv = jnp.asarray(rng.standard_normal((B, S, 3 * H * D)).astype(np.float32))
+    ref = A._jnp_mha(qkv, H, causal, s_valid=20)
+    out = A._pallas_mha(qkv, H, causal, interpret=True, s_valid=20)
+    np.testing.assert_allclose(np.asarray(out)[:, :20], np.asarray(ref)[:, :20],
+                               rtol=2e-5, atol=2e-5)
+    g = jnp.asarray(rng.standard_normal((B, S, H * D)).astype(np.float32))
+    # zero pad-row grads like a caller that slices them away
+    g = g.at[:, 20:].set(0.0)
+    _, vjp = jax.vjp(lambda a: A._jnp_mha(a, H, causal, s_valid=20), qkv)
+    (dref,) = vjp(g)
+    dout = A._pallas_mha_bwd(qkv, g, H, causal, interpret=True, s_valid=20)
+    np.testing.assert_allclose(np.asarray(dout), np.asarray(dref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_hybrid_composed_train_fwd_matches_kernel():
+    """The composed train-forward (hybrid mode for wide towers) equals the
+    fused flat kernel forward bit-for-bit in math terms (same islands)."""
+    B, S, W, heads = 4, 24, 128, 2
+    x, ln_p, attn_p, g = _mk(B, S, W, heads, False, seed=9)
+    kern = A._pallas_attn_sublayer_flat(
+        x, ln_p, attn_p, S, heads, False, 1e-5, block_b=2, interpret=True)
+    comp = A._jnp_sublayer_flat_dispatch(x, ln_p, attn_p, S, heads, False,
+                                         1e-5, None)
+    np.testing.assert_allclose(np.asarray(kern), np.asarray(comp),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_train_fwd_composed_policy():
+    assert A._train_fwd_composed(1024, 264) is True
+    assert A._train_fwd_composed(768, 200) is False   # B/16: flat fwd wins
+    assert A._train_fwd_composed(1024, 257) is False  # unaligned reshape
+    A._TRAIN_FWD_COMPOSED_OVERRIDE = False
+    try:
+        assert A._train_fwd_composed(1024, 264) is False
+    finally:
+        A._TRAIN_FWD_COMPOSED_OVERRIDE = None

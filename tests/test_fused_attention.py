@@ -371,7 +371,7 @@ def test_bwd_dispatch_mirrors_fwd_threshold(monkeypatch):
     qkv = jnp.asarray(rng.standard_normal((B, S, 3 * W)), jnp.float32)
     g = jnp.asarray(rng.standard_normal((B, S, W)), jnp.float32)
     # S=600 > 512: must fall to the composed VJP, not call boom
-    (dqkv,) = A._bwd(heads, False, qkv, g)
+    (dqkv,) = A._bwd(heads, False, None, qkv, g)
     _, vjp = jax.vjp(lambda a: A._jnp_mha(a, heads, False), qkv)
     np.testing.assert_allclose(np.asarray(dqkv), np.asarray(vjp(g)[0]),
                                rtol=1e-5, atol=1e-5)
@@ -379,7 +379,7 @@ def test_bwd_dispatch_mirrors_fwd_threshold(monkeypatch):
     qkv_s = qkv[:, :128]
     g_s = g[:, :128]
     with pytest.raises(AssertionError, match="whole-row"):
-        A._bwd(heads, False, qkv_s, g_s)
+        A._bwd(heads, False, None, qkv_s, g_s)
 
 
 def test_flash_fwd_bwd_parity_long_seq():
