@@ -63,11 +63,10 @@ def main():
            and names.get(e["pid"]) == "/device:TPU:0"]
     whiles = sorted((e for e in dev if e["name"].startswith("while.")),
                     key=lambda e: e["ts"])
-    seen = set()
+    # NOTE: every occurrence of each while op accumulates (the traced run
+    # has 3 steps); totals are normalized by /3e3 below — 3 steps, us->ms.
     per = collections.defaultdict(collections.Counter)
     for w in whiles:
-        if w["name"] in seen:
-            continue
         t0, t1 = w["ts"], w["ts"] + w["dur"]
         for e in dev:
             if e is w or e["tid"] != w["tid"]:

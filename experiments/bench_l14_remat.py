@@ -65,11 +65,15 @@ def main():
     times = {name: [] for name in runners}
     for rnd in range(3):
         for name, steps in runners.items():
-            s2 = steps(state, px, ids, 1)
-            float(s2.params["logit_scale"])
+            # REBIND one state var: holding state+s2+s3 live = ~15 GB of
+            # fp32 L/14 train state and OOMs the chip (donation is not
+            # honored through the axon tunnel) — same pattern as
+            # bench_l14_hybrid.py / bench_l14_bsweep.py.
+            state = steps(state, px, ids, 1)
+            float(state.params["logit_scale"])
             t0 = time.perf_counter()
-            s3 = steps(s2, px, ids, 5)
-            float(s3.params["logit_scale"])
+            state = steps(state, px, ids, 5)
+            float(state.params["logit_scale"])
             times[name].append((time.perf_counter() - t0) / 5)
     for name, ts in times.items():
         best = min(ts)

@@ -721,9 +721,11 @@ def _jnp_attn_sublayer(x, ln_p, attn_p, heads, causal, eps,
 def _jnp_attn_sublayer_masked(x, ln_p, attn_p, heads, causal, eps,
                               s_valid: int):
     """Composed sublayer with PAD columns >= ``s_valid`` excluded — the
-    reference semantics for a sequence padded S_real -> S. Off-kernel
-    fallback / parity oracle for the padded flat path; same fp32
-    logits+softmax islands as the kernels."""
+    reference semantics for a sequence padded S_real -> S. Parity ORACLE
+    only (tests/test_padded_seq.py): production padded dispatch goes
+    through ``_jnp_attn_sublayer`` + ``fused_attention``'s in-kernel
+    s_valid masking instead. Same fp32 logits+softmax islands as the
+    kernels."""
     from ..models.layers import layer_norm, linear
 
     B, S, W = x.shape
@@ -1272,15 +1274,20 @@ _BWD_MODE = "fused"
 # vs 77.5 ms — models/layers._FLAT_FWD_ONLY_MAX_W); the custom-VJP boundary
 # makes the passes independent, so training can take the composed forward
 # (XLA dense at ~90% + per-row Pallas core, s_valid-masked) while keeping
-# the flat Pallas backward kernel. Legal whenever S % 8 == 0, where the
-# [N, W] <-> [B, S, W] reshape is layout-free.
+# the flat Pallas backward kernel. Legal whenever S % 8 == 0 (the
+# [N, W] <-> [B, S, W] reshape is layout-free) AND S <= 512: above 512 the
+# composed path's fused_attention falls off the per-row Pallas core (the
+# only kernel with s_valid masking) onto the _jnp_mha einsum, i.e. the
+# [B, H, S, S] HBM round-trip the hybrid exists to avoid — so L/14@336px
+# (S padded to 584) keeps the all-flat training forward.
 _TRAIN_FWD_COMPOSED_OVERRIDE: "bool | None" = None
 
 
 def _train_fwd_composed(W: int, S: int) -> bool:
+    legal = S % 8 == 0 and S <= 512
     if _TRAIN_FWD_COMPOSED_OVERRIDE is not None:
-        return bool(_TRAIN_FWD_COMPOSED_OVERRIDE) and S % 8 == 0
-    return W > 768 and S % 8 == 0
+        return bool(_TRAIN_FWD_COMPOSED_OVERRIDE) and legal
+    return W > 768 and legal
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))

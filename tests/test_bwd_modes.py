@@ -174,8 +174,18 @@ def test_train_fwd_composed_policy():
     assert A._train_fwd_composed(1024, 264) is True
     assert A._train_fwd_composed(768, 200) is False   # B/16: flat fwd wins
     assert A._train_fwd_composed(1024, 257) is False  # unaligned reshape
+    # L/14@336px (S padded to 584): above 512 the composed path's
+    # fused_attention would fall off the s_valid-masked per-row kernel onto
+    # the [B,H,S,S] einsum — hybrid must stay off.
+    assert A._train_fwd_composed(1024, 584) is False
     A._TRAIN_FWD_COMPOSED_OVERRIDE = False
     try:
         assert A._train_fwd_composed(1024, 264) is False
+    finally:
+        A._TRAIN_FWD_COMPOSED_OVERRIDE = None
+    A._TRAIN_FWD_COMPOSED_OVERRIDE = True
+    try:
+        assert A._train_fwd_composed(512, 80) is True   # override widens W
+        assert A._train_fwd_composed(512, 584) is False  # but never S>512
     finally:
         A._TRAIN_FWD_COMPOSED_OVERRIDE = None

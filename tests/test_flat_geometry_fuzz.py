@@ -47,8 +47,8 @@ def _geometries(n=6, seed=123):
 def test_flat_kernel_fuzz_fwd_bwd(B, S, S_pad, W, heads, bb, causal):
     if B % bb:
         bb = 1
-    if (bb * S_pad) % 8:
-        pytest.skip("no legal block for this draw")
+    # S_pad is a multiple of 8 by construction, so every (bb, S_pad) draw
+    # satisfies Mosaic's (bb*S_pad) % 8 sublane rule — no skips needed.
     rng = np.random.default_rng(hash((B, S, W, heads, bb, causal)) % 2**32)
     p = _blk(jax.random.PRNGKey(17), W)
     x = jnp.asarray(rng.standard_normal((B, S, W)).astype(np.float32))
