@@ -452,31 +452,41 @@ def _flat_want(S: int) -> int:
     return 4
 
 
-# Experiment override for the short-S core formulation: None = default
-# policy; {"fwd": bool, "bwd": bool} forces row-blocked cores per pass at
-# S <= 128 where legal (experiments/bench_text_rowcore.py).
+# Experiment override for the core formulation: None = default policy;
+# {"fwd": v, "bwd": v} forces a per-pass core shape where legal
+# (experiments/bench_text_rowcore.py, bench_core_chunk.py). v may be:
+#   False/None -> whole-block block-diagonal; True/1 -> row-blocked;
+#   int c > 1  -> chunked ([c*S, c*S] masked core dots).
 _ROW_CORE_OVERRIDE: "dict | None" = None
 
 
-def _row_core(S: int, bwd: bool) -> bool:
-    """Core formulation for the flat sublayer kernels: block-diagonal (one
-    masked [M, M] dot per head) vs row-blocked (one exact [S, S] dot per
-    batch row and head). Row slicing needs 8-aligned sublane offsets, so the
-    row-blocked form is only legal when ``S % 8 == 0``.
+def _core_chunk(S: int, block_b: int, bwd: bool) -> "int | None":
+    """Batch-rows per attention-core dot inside a flat-sublayer program.
 
-    S > 128 is always row-blocked (a [M, M] block-diag core would waste
-    (bb-1)/bb of a no-longer-small share of program FLOPs) — those
-    geometries reach the flat path via padding, so S % 8 == 0 holds there.
-    At S <= 128 the choice is measured per pass (the backward core is 7
-    dots/head vs the forward's 2, so block-diag waste bites ~3.5x harder in
-    the backward)."""
-    if S > 128:
-        return True
-    if S % 8:
-        return False
+    The program's dense matmuls always run at M = block_b*S rows; this picks
+    the CORE formulation only:
+      None -> whole-block block-diagonal: one [M, M] masked dot per head
+              (waste (block_b-1)/block_b of core FLOPs, maximal dot size);
+      1    -> row-blocked: block_b exact [S, S] dots per head (zero core
+              waste, but small dots pipeline poorly — text S=80 measured
+              neutral-to-worse, PERF.md round 3);
+      c    -> chunked middle ground: block_b/c masked [c*S, c*S] dots per
+              head (waste (c-1)/c, dots still MXU-sized).
+
+    Defaults: S > 128 rows are row-blocked (block-diag waste there is a
+    large share of no-longer-small core FLOPs); S <= 128 whole-block.
+    Chunk slicing needs 8-aligned sublane offsets ((c*S) % 8 == 0) and
+    block_b % c == 0 — illegal requests fall back to whole-block."""
     if _ROW_CORE_OVERRIDE is not None:
-        return bool(_ROW_CORE_OVERRIDE.get("bwd" if bwd else "fwd", False))
-    return False
+        v = _ROW_CORE_OVERRIDE.get("bwd" if bwd else "fwd", False)
+        want = None if v in (False, None) else (1 if v is True else int(v))
+    else:
+        want = 1 if S > 128 else None
+    if want is None or want >= block_b:
+        return None
+    if block_b % want or (want * S) % 8:
+        return None
+    return want
 
 
 def _sublayer_block_b(B: int, S: int, want: int) -> "int | None":
@@ -535,7 +545,7 @@ def _attn_sublayer_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                           heads: int, eps: float,
                           causal: bool, S: int,
                           s_valid: "int | None" = None,
-                          row_core: bool = False):
+                          core_chunk: "int | None" = None):
     """One program = ``block_b`` batch rows, flattened to ``M = block_b*S``
     token rows (the flatten happens OUTSIDE the kernel, where [B,S,W] →
     [B*S,W] is a free contiguous reshape — an in-kernel reshape of a
@@ -571,15 +581,22 @@ def _attn_sublayer_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         # save-qkv training mode: emit the QKV activations so the dW-split
         # backward kernel can skip its recompute matmul (_BWD_MODE)
         qkv_out_ref[:] = qkv
-    if not row_core:
-        # block-diagonal core: ONE [M, M] masked dot per head (core waste
-        # ∝ block_b is ~3% of program FLOPs at these S)
-        mask = _blockdiag_mask(M, S, causal, s_valid)
-        ctx_cols = []
+    # Attention core: the program's M = block_b*S token rows are processed
+    # in chunks of Mc = core_chunk*S rows (core_chunk=None -> one whole-
+    # block [M, M] block-diagonal masked dot per head; 1 -> block_b exact
+    # [S, S] dots; c -> masked [c*S, c*S] dots — see _core_chunk). Masked
+    # columns contribute exact 0.0 to softmax sums and PV dots, so every
+    # chunk size is bit-identical to the per-row formulation.
+    Mc = M if core_chunk is None else core_chunk * S
+    mask = _blockdiag_mask(Mc, S, causal, s_valid)
+    ctx_rows = []
+    for rb in range(M // Mc):
+        sl = slice(rb * Mc, (rb + 1) * Mc)
+        cols = []
         for h in range(heads):
-            q = qkv[:, h * D:(h + 1) * D]
-            k = qkv[:, W + h * D:W + (h + 1) * D]
-            v = qkv[:, 2 * W + h * D:2 * W + (h + 1) * D]
+            q = qkv[sl, h * D:(h + 1) * D]
+            k = qkv[sl, W + h * D:W + (h + 1) * D]
+            v = qkv[sl, 2 * W + h * D:2 * W + (h + 1) * D]
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -592,41 +609,12 @@ def _attn_sublayer_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
             # SLOWER end-to-end encode (14.5k vs 14.7k img/s) — kept as the
             # exact normalize-first form.
             p = p / jnp.sum(p, -1, keepdims=True)
-            ctx_cols.append(
+            cols.append(
                 jnp.dot(p.astype(xb.dtype), v,
                         preferred_element_type=jnp.float32).astype(xb.dtype)
             )
-        ctx = jnp.concatenate(ctx_cols, axis=-1)  # [M, W]
-    else:
-        # row-blocked core: each batch row's attention is its own exact
-        # [S, S] dot — zero core waste at any block_b, so dense ops still
-        # run at M = block_b*S rows (at S=264 a block-diag [M, M] would
-        # waste (bb-1)/bb of a core that is no longer a small share). Needs
-        # S % 8 == 0 (aligned row offsets) — see _row_core.
-        mask = _row_mask(S, causal, s_valid)
-        ctx_rows = []
-        for rb in range(M // S):
-            sl = slice(rb * S, (rb + 1) * S)
-            cols = []
-            for h in range(heads):
-                q = qkv[sl, h * D:(h + 1) * D]
-                k = qkv[sl, W + h * D:W + (h + 1) * D]
-                v = qkv[sl, 2 * W + h * D:2 * W + (h + 1) * D]
-                logits = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * scale
-                logits = jnp.where(mask, logits, -jnp.inf)
-                m = jnp.max(logits, -1, keepdims=True)
-                p = jnp.exp(logits - m)
-                p = p / jnp.sum(p, -1, keepdims=True)
-                cols.append(
-                    jnp.dot(p.astype(xb.dtype), v,
-                            preferred_element_type=jnp.float32
-                            ).astype(xb.dtype)
-                )
-            ctx_rows.append(jnp.concatenate(cols, axis=-1))  # [S, W]
-        ctx = jnp.concatenate(ctx_rows, axis=0)  # [M, W]
+        ctx_rows.append(jnp.concatenate(cols, axis=-1))  # [Mc, W]
+    ctx = ctx_rows[0] if len(ctx_rows) == 1 else jnp.concatenate(ctx_rows, 0)
     y = (
         jnp.dot(ctx, wout_ref[:], preferred_element_type=jnp.float32)
         + bout_ref[:]
@@ -668,7 +656,7 @@ def _pallas_attn_sublayer_flat(x2, ln_p, attn_p, S, heads, causal, eps,
             x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
             o_ref, rest[0] if rest else None, heads=heads, eps=eps,
             causal=causal, S=S, s_valid=s_valid,
-            row_core=_row_core(S, bwd=False))
+            core_chunk=_core_chunk(S, block_b, bwd=False))
 
     return pl.pallas_call(
         kernel,
@@ -775,7 +763,7 @@ def _attn_sublayer_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
                               dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref, *,
                               heads: int, eps: float, causal: bool,
                               S: int, s_valid: "int | None" = None,
-                              row_core: bool = False):
+                              core_chunk: "int | None" = None):
     """Hand-written backward for the fused attention sublayer (VERDICT r1 #2).
 
     One program per batch-block: recomputes LN1/QKV/softmax in VMEM
@@ -879,19 +867,18 @@ def _attn_sublayer_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
         return (jnp.concatenate(ctx_cols, axis=-1),
                 jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1))
 
-    if not row_core:
-        ctx, dqkv = core_bwd(qkv, dctx, _blockdiag_mask(M, S, causal, s_valid))
-    else:
-        # row-blocked core — see _attn_sublayer_kernel / _row_core
-        mask = _row_mask(S, causal, s_valid)
-        ctx_rows, dqkv_rows = [], []
-        for rb in range(M // S):
-            sl = slice(rb * S, (rb + 1) * S)
-            c_rb, d_rb = core_bwd(qkv[sl], dctx[sl], mask)
-            ctx_rows.append(c_rb)
-            dqkv_rows.append(d_rb)
-        ctx = jnp.concatenate(ctx_rows, axis=0)
-        dqkv = jnp.concatenate(dqkv_rows, axis=0)
+    # chunked core — see _attn_sublayer_kernel / _core_chunk
+    Mc = M if core_chunk is None else core_chunk * S
+    mask = _blockdiag_mask(Mc, S, causal, s_valid)
+    ctx_rows, dqkv_rows = [], []
+    for rb in range(M // Mc):
+        sl = slice(rb * Mc, (rb + 1) * Mc)
+        c_rb, d_rb = core_bwd(qkv[sl], dctx[sl], mask)
+        ctx_rows.append(c_rb)
+        dqkv_rows.append(d_rb)
+    ctx = ctx_rows[0] if len(ctx_rows) == 1 else jnp.concatenate(ctx_rows, 0)
+    dqkv = (dqkv_rows[0] if len(dqkv_rows) == 1
+            else jnp.concatenate(dqkv_rows, 0))
     # ---- dense backward, all rows at once
     dwout_ref[:, :] += jax.lax.dot_general(
         ctx, gyb, (((0,), (0,)), ((), ())),
@@ -923,7 +910,7 @@ def _attn_sublayer_bwd_split_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
                                     ctx_ref, ln_ref, dlns_ref, dlnb_ref, *,
                                     heads: int, eps: float, causal: bool,
                                     S: int, s_valid: "int | None" = None,
-                                    row_core: bool = False,
+                                    core_chunk: "int | None" = None,
                                     qkv_ref=None):
     """dW-split backward: the kernel owns only the serial dx chain — dctx,
     the attention-core backward, dln, and the LN backward — and EMITS the
@@ -1008,18 +995,18 @@ def _attn_sublayer_bwd_split_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
         return (jnp.concatenate(ctx_cols, axis=-1),
                 jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1))
 
-    if not row_core:
-        ctx, dqkv = core_bwd(qkv, dctx, _blockdiag_mask(M, S, causal, s_valid))
-    else:
-        mask = _row_mask(S, causal, s_valid)
-        ctx_rows, dqkv_rows = [], []
-        for rb in range(M // S):
-            sl = slice(rb * S, (rb + 1) * S)
-            c_rb, d_rb = core_bwd(qkv[sl], dctx[sl], mask)
-            ctx_rows.append(c_rb)
-            dqkv_rows.append(d_rb)
-        ctx = jnp.concatenate(ctx_rows, axis=0)
-        dqkv = jnp.concatenate(dqkv_rows, axis=0)
+    # chunked core — see _attn_sublayer_kernel / _core_chunk
+    Mc = M if core_chunk is None else core_chunk * S
+    mask = _blockdiag_mask(Mc, S, causal, s_valid)
+    ctx_rows, dqkv_rows = [], []
+    for rb in range(M // Mc):
+        sl = slice(rb * Mc, (rb + 1) * Mc)
+        c_rb, d_rb = core_bwd(qkv[sl], dctx[sl], mask)
+        ctx_rows.append(c_rb)
+        dqkv_rows.append(d_rb)
+    ctx = ctx_rows[0] if len(ctx_rows) == 1 else jnp.concatenate(ctx_rows, 0)
+    dqkv = (dqkv_rows[0] if len(dqkv_rows) == 1
+            else jnp.concatenate(dqkv_rows, 0))
     ctx_ref[:] = ctx
     ln_ref[:] = ln
     dqkv_out_ref[:] = dqkv
@@ -1071,7 +1058,7 @@ def _pallas_attn_sublayer_bwd_split(x2, g2, ln_p, attn_p, S, heads, causal,
             attn_p["qkv"]["bias"], wout]
     kern = functools.partial(
         _attn_sublayer_bwd_split_kernel, heads=heads, eps=eps, causal=causal,
-        S=S, s_valid=s_valid, row_core=_row_core(S, bwd=True))
+        S=S, s_valid=s_valid, core_chunk=_core_chunk(S, block_b, bwd=True))
     if qkv2 is not None:
         in_specs.append(pl.BlockSpec((M, 3 * W), row, memory_space=pltpu.VMEM))
         args.append(qkv2)
@@ -1147,7 +1134,7 @@ def _pallas_attn_sublayer_bwd_flat(x2, g2, ln_p, attn_p, S, heads, causal,
     dx, dlns, dlnb, dwqkv, dbqkv, dwout, dbout = pl.pallas_call(
         functools.partial(_attn_sublayer_bwd_kernel, heads=heads, eps=eps,
                           causal=causal, S=S, s_valid=s_valid,
-                          row_core=_row_core(S, bwd=True)),
+                          core_chunk=_core_chunk(S, block_b, bwd=True)),
         grid=(B // block_b,),
         in_specs=[
             pl.BlockSpec((M, W), lambda b: (b, 0), memory_space=pltpu.VMEM),

@@ -120,20 +120,59 @@ def test_row_core_override_exact(causal):
     _assert_grads_close(row_b, base_b, tol=1e-6)
 
 
-def test_row_core_policy():
-    """Default policy: row-blocked only above S=128; S % 8 != 0 never."""
-    assert A._row_core(264, bwd=True) is True
-    assert A._row_core(264, bwd=False) is True
-    assert A._row_core(80, bwd=True) is False
-    assert A._row_core(80, bwd=False) is False
-    assert A._row_core(50, bwd=True) is False
+def test_core_chunk_policy():
+    """Default policy: row-blocked (chunk=1) only above S=128; chunks whose
+    (c*S) % 8 != 0 or that don't divide block_b fall back to whole-block."""
+    assert A._core_chunk(264, 4, bwd=True) == 1
+    assert A._core_chunk(264, 4, bwd=False) == 1
+    assert A._core_chunk(264, 1, bwd=True) is None   # chunk >= bb: whole
+    assert A._core_chunk(80, 8, bwd=True) is None
+    assert A._core_chunk(80, 8, bwd=False) is None
+    assert A._core_chunk(50, 4, bwd=True) is None
     A._ROW_CORE_OVERRIDE = {"fwd": False, "bwd": True}
     try:
-        assert A._row_core(80, bwd=True) is True
-        assert A._row_core(80, bwd=False) is False
-        assert A._row_core(50, bwd=True) is False  # unaligned: never legal
+        assert A._core_chunk(80, 8, bwd=True) == 1
+        assert A._core_chunk(80, 8, bwd=False) is None
+        assert A._core_chunk(50, 4, bwd=True) is None  # 50 % 8: never legal
     finally:
         A._ROW_CORE_OVERRIDE = None
+    A._ROW_CORE_OVERRIDE = {"fwd": 4, "bwd": 2}
+    try:
+        assert A._core_chunk(80, 8, bwd=False) == 4   # 2 dots of [320, 320]
+        assert A._core_chunk(80, 8, bwd=True) == 2    # 4 dots of [160, 160]
+        assert A._core_chunk(80, 3, bwd=False) is None  # 3 % 4: fall back
+        assert A._core_chunk(50, 8, bwd=True) is None  # (2*50) % 8 != 0
+        assert A._core_chunk(56, 8, bwd=True) == 2     # (2*56) % 8 == 0
+    finally:
+        A._ROW_CORE_OVERRIDE = None
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("chunk", [1, 2])
+def test_core_chunk_override_exact(causal, chunk):
+    """Chunked core ([c*S, c*S] masked dots) is exact vs whole-block
+    block-diag (fwd + bwd) — including PAD-column masking (s_valid)."""
+    B, S, W, heads = 4, 16, 64, 2
+    x, ln_p, attn_p, g = _mk(B, S, W, heads, causal, seed=13)
+    base_f = A._pallas_attn_sublayer_flat(
+        x, ln_p, attn_p, S, heads, causal, 1e-5, block_b=4, interpret=True,
+        s_valid=13)
+    base_b = A._pallas_attn_sublayer_bwd_flat(
+        x, g, ln_p, attn_p, S, heads, causal, 1e-5, block_b=4,
+        interpret=True, s_valid=13)
+    A._ROW_CORE_OVERRIDE = {"fwd": chunk, "bwd": chunk}
+    try:
+        chk_f = A._pallas_attn_sublayer_flat(
+            x, ln_p, attn_p, S, heads, causal, 1e-5, block_b=4,
+            interpret=True, s_valid=13)
+        chk_b = A._pallas_attn_sublayer_bwd_flat(
+            x, g, ln_p, attn_p, S, heads, causal, 1e-5, block_b=4,
+            interpret=True, s_valid=13)
+    finally:
+        A._ROW_CORE_OVERRIDE = None
+    np.testing.assert_allclose(np.asarray(base_f), np.asarray(chk_f),
+                               rtol=1e-6, atol=1e-6)
+    _assert_grads_close(chk_b, base_b, tol=1e-6)
 
 
 @pytest.mark.parametrize("causal", [False, True])
