@@ -38,6 +38,24 @@ def test_plip_module():
         ("reproducibility.fine_tuning.finetune", "LinearClassifier"),
         ("reproducibility.utils.cacher", "cache_hit_or_miss"),
         ("reproducibility.utils.results_handler", "ResultsHandler"),
+        ("reproducibility.scripts.zero_shot_evaluation", "main"),
+        ("reproducibility.scripts.linear_probing_evaluation", "main"),
+        ("reproducibility.scripts.retrieval_evaluation", "main"),
+        ("reproducibility.scripts.fine_tuning_train", "main"),
+        ("reproducibility.scripts.fine_tuning_analysis", "main"),
+        ("reproducibility.scripts.extract_embedding", "main"),
+        ("reproducibility.generate_validation_datasets._dataset_loader",
+         "process_Kather_csv"),
+        ("reproducibility.generate_validation_datasets._dataset_loader",
+         "process_DigestPath"),
+        ("reproducibility.generate_validation_datasets.prepare_dataset_to_csv",
+         "parmap"),
+        ("reproducibility.generate_validation_datasets.prepare_dataset_to_csv",
+         "resizeimg"),
+        ("reproducibility.generate_validation_datasets.preprocess"
+         ".preprocess_DigestPath", "run_step_1"),
+        ("reproducibility.generate_validation_datasets.preprocess"
+         ".preprocess_PanNuke", "main"),
     ],
 )
 def test_reference_import_paths(module, symbol):
