@@ -3,10 +3,6 @@ per-while (scan) decomposition + top ops — the same method that overturned
 the B/32 backward attribution (CLAUDE.md round-3 findings). Then a one-process
 A/B of backward modes / batch sizes can be aimed at the real hot spot."""
 
-import collections
-import glob
-import gzip
-import json
 import os
 import sys
 
@@ -51,41 +47,16 @@ def main():
         float(state.params["logit_scale"])
     print("trace done", flush=True)
 
-    path = sorted(glob.glob(outdir + "/plugins/profile/*/*.trace.json.gz"))[-1]
-    with gzip.open(path) as f:
-        tr = json.load(f)
-    ev = tr["traceEvents"]
-    names = {}
-    for e in ev:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            names[e["pid"]] = e["args"]["name"]
-    dev = [e for e in ev if e.get("ph") == "X" and "dur" in e
-           and names.get(e["pid"]) == "/device:TPU:0"]
-    whiles = sorted((e for e in dev if e["name"].startswith("while.")),
-                    key=lambda e: e["ts"])
-    # NOTE: every occurrence of each while op accumulates (the traced run
-    # has 3 steps); totals are normalized by /3e3 below — 3 steps, us->ms.
-    per = collections.defaultdict(collections.Counter)
-    for w in whiles:
-        t0, t1 = w["ts"], w["ts"] + w["dur"]
-        for e in dev:
-            if e is w or e["tid"] != w["tid"]:
-                continue
-            if (e["ts"] >= t0 and e["ts"] + e["dur"] <= t1
-                    and not e["name"].startswith("while.")):
-                per[w["name"]][e["name"]] += e["dur"]
-    tot_w = {}
-    for w in whiles:
-        tot_w.setdefault(w["name"], 0)
-        tot_w[w["name"]] += w["dur"]
-    step_tot = sum(e["dur"] for e in dev if e["name"].startswith("jit_step")) / 3e3
-    print(f"step total: {step_tot:.1f} ms")
-    for wn in sorted(tot_w):
-        print(f"\n=== {wn}: {tot_w[wn]/3e3:.2f} ms/step ===")
-        for n, d in per[wn].most_common(8):
-            print(f"  {d/3e3:7.3f} ms/step  {n[:90]}")
-    rest = sum(tot_w.values()) / 3e3
-    print(f"\nwhiles sum {rest:.1f} ms; outside-scan {step_tot-rest:.1f} ms")
+    from plip_tpu.utils.profiling import parse_device_trace
+
+    dec = parse_device_trace(outdir, n_steps=3, step_prefix="jit_step")
+    print(f"step total: {dec['step_total_ms']:.1f} ms")
+    for wn in sorted(dec["groups"]):
+        g = dec["groups"][wn]
+        print(f"\n=== {wn}: {g['total_ms']:.2f} ms/step ===")
+        for n, d in g["ops"][:8]:
+            print(f"  {d:7.3f} ms/step  {n[:90]}")
+    print(f"\noutside-scan {dec['outside_ms']:.1f} ms")
 
 
 if __name__ == "__main__":

@@ -10,6 +10,11 @@ directory names only). Here:
 - :class:`MetricLogger` — structured JSONL metric sink (step, wall time,
   arbitrary scalars), the machine-readable counterpart of the reference's
   ``logging.info`` strings.
+- :func:`parse_device_trace` — decompose a ``jax.profiler`` trace into
+  per-scan (``while`` op) device-time groups + outside-scan remainder, the
+  method that produced the round-3 train-step decompositions (PERF.md).
+  Works through the axon tunnel (parses the ``*.trace.json.gz`` the
+  profiler writes; no TensorBoard needed).
 """
 
 from __future__ import annotations
@@ -90,6 +95,76 @@ def trace(logdir: Optional[str] = None, name: str = "plip_tpu"):
             except Exception:
                 pass
         info["wall_time_s"] = time.perf_counter() - t0
+
+
+def parse_device_trace(
+    path: str,
+    n_steps: int = 1,
+    device: str = "/device:TPU:0",
+    step_prefix: str = "jit_",
+) -> Dict:
+    """Decompose a ``jax.profiler`` trace into per-scan device-time groups.
+
+    ``path``: a ``*.trace.json.gz`` file, or a profiler logdir (the newest
+    ``plugins/profile/*/*.trace.json.gz`` under it is used). ``n_steps``:
+    how many identical steps ran inside the trace — all reported times are
+    normalized to ms/step. Returns::
+
+        {"step_total_ms": float,      # sum of {step_prefix}* op time
+         "groups": {while_name: {"total_ms": float,
+                                 "ops": [(op_name, ms), ...]}},  # per scan
+         "outside_ms": float}         # step total - all scan groups
+
+    Each ``while`` op on the device timeline is one ``lax.scan``/
+    ``while_loop`` (e.g. a tower's layer stack); ops nested inside its time
+    span on the same thread are attributed to it. Every occurrence across
+    the ``n_steps`` accumulates, hence the normalization.
+    """
+    import glob
+    import gzip
+    from collections import Counter, defaultdict
+
+    if os.path.isdir(path):
+        cands = sorted(glob.glob(
+            os.path.join(path, "plugins", "profile", "*", "*.trace.json.gz")))
+        if not cands:
+            raise FileNotFoundError(f"no trace.json.gz under {path}")
+        path = cands[-1]
+    with gzip.open(path) as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    names = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            names[e["pid"]] = e["args"]["name"]
+    dev = [e for e in ev if e.get("ph") == "X" and "dur" in e
+           and names.get(e["pid"]) == device]
+    whiles = sorted((e for e in dev if e["name"].startswith("while")),
+                    key=lambda e: e["ts"])
+    per: Dict[str, Counter] = defaultdict(Counter)
+    tot_w: Dict[str, float] = defaultdict(float)
+    for w in whiles:
+        t0, t1 = w["ts"], w["ts"] + w["dur"]
+        tot_w[w["name"]] += w["dur"]
+        for e in dev:
+            if e is w or e["tid"] != w["tid"]:
+                continue
+            if (e["ts"] >= t0 and e["ts"] + e["dur"] <= t1
+                    and not e["name"].startswith("while")):
+                per[w["name"]][e["name"]] += e["dur"]
+    k = n_steps * 1e3  # occurrences over n_steps, us -> ms
+    step_total = sum(e["dur"] for e in dev
+                     if e["name"].startswith(step_prefix)) / k
+    groups = {
+        wn: {"total_ms": tot_w[wn] / k,
+             "ops": [(n, d / k) for n, d in per[wn].most_common()]}
+        for wn in tot_w
+    }
+    return {
+        "step_total_ms": step_total,
+        "groups": groups,
+        "outside_ms": step_total - sum(g["total_ms"] for g in groups.values()),
+    }
 
 
 class MetricLogger:

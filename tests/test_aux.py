@@ -116,3 +116,54 @@ def test_fused_adamw_matches_optax():
     # state carries the same adam moments
     np.testing.assert_allclose(np.asarray(s_a.mu["w"]),
                                np.asarray(s_b[0].mu["w"]), rtol=1e-6)
+
+
+def test_parse_device_trace(tmp_path):
+    """parse_device_trace decomposes a synthetic profiler trace: per-while
+    groups with nested-op attribution, step normalization, outside-scan
+    remainder, and logdir resolution."""
+    import gzip
+
+    from plip_tpu.utils.profiling import parse_device_trace
+
+    # two steps: jit_step spans [0, 10000] and [20000, 30000] us; each has
+    # one image-tower while (4000 us, with a fusion of 3000) and one
+    # text-tower while (2000 us, with a fusion of 1500); other-thread and
+    # other-device events must be ignored.
+    ev = [
+        {"ph": "M", "name": "process_name", "pid": 1,
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "name": "process_name", "pid": 2,
+         "args": {"name": "/host:CPU"}},
+    ]
+    for base in (0, 20000):
+        ev += [
+            {"ph": "X", "pid": 1, "tid": 1, "name": "jit_step",
+             "ts": base, "dur": 10000},
+            {"ph": "X", "pid": 1, "tid": 1, "name": "while.img",
+             "ts": base + 100, "dur": 4000},
+            {"ph": "X", "pid": 1, "tid": 1, "name": "fusion.qkv",
+             "ts": base + 200, "dur": 3000},
+            {"ph": "X", "pid": 1, "tid": 1, "name": "while.txt",
+             "ts": base + 5000, "dur": 2000},
+            {"ph": "X", "pid": 1, "tid": 1, "name": "fusion.mlp",
+             "ts": base + 5100, "dur": 1500},
+            # same window, different thread: not attributed
+            {"ph": "X", "pid": 1, "tid": 9, "name": "fusion.other",
+             "ts": base + 200, "dur": 999},
+            # host event: ignored entirely
+            {"ph": "X", "pid": 2, "tid": 1, "name": "decode",
+             "ts": base, "dur": 8888},
+        ]
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    with gzip.open(d / "host.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": ev}, f)
+
+    dec = parse_device_trace(str(tmp_path), n_steps=2, step_prefix="jit_step")
+    assert dec["step_total_ms"] == pytest.approx(10.0)
+    assert dec["groups"]["while.img"]["total_ms"] == pytest.approx(4.0)
+    assert dec["groups"]["while.txt"]["total_ms"] == pytest.approx(2.0)
+    assert dec["groups"]["while.img"]["ops"] == [("fusion.qkv", pytest.approx(3.0))]
+    assert dec["groups"]["while.txt"]["ops"] == [("fusion.mlp", pytest.approx(1.5))]
+    assert dec["outside_ms"] == pytest.approx(4.0)
