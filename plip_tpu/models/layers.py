@@ -195,7 +195,10 @@ def transformer(
     # — the 16-head × block_b row-blocked core serializes more than the 3D
     # fused_attention kernel at that width). `remat` is the training proxy:
     # inference calls pass remat=False, so the composed 3D scan keeps
-    # forward-only W>768 towers on their measured winner.
+    # forward-only W>768 towers on their measured winner. Inside the flat
+    # TRAINING path, W>768 towers additionally take the hybrid forward
+    # (composed XLA fwd under the flat custom VJP — 330.2 ms, another
+    # +2.6%; ops/attention._train_fwd_composed).
     S_run, s_valid = S, None
     flat_fwd_only_wins = W <= _FLAT_FWD_ONLY_MAX_W
     if not _flat_pallas_ok(B * S, S, first):
