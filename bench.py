@@ -147,8 +147,11 @@ def main():
     iters = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else (
         2 if on_cpu else 30
     )
+    # --arch vit_b32|vit_b16|vit_l14|vit_l14_336 (headline metric is B/32)
+    arch = (sys.argv[sys.argv.index("--arch") + 1]
+            if "--arch" in sys.argv else "vit_b32")
 
-    cfg = CLIPConfig.vit_b32()
+    cfg = getattr(CLIPConfig, arch)()
     params = jclip.init_params(jax.random.PRNGKey(0), cfg)
 
     # The axon platform defers execution until a host fetch, so we chain all
@@ -182,10 +185,13 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "vit_b32_encode_images_per_sec_per_chip",
+                "metric": f"{arch}_encode_images_per_sec_per_chip",
                 "value": round(img_per_sec, 1),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+                # the 5k north star is a ViT-B/32 target; other archs report
+                # raw throughput only
+                "vs_baseline": (round(img_per_sec / BASELINE_IMG_PER_SEC, 3)
+                                if arch == "vit_b32" else None),
             }
         )
     )
