@@ -51,6 +51,20 @@ def load_image_rgb(path_or_img) -> np.ndarray:
     return arr.astype(np.uint8)
 
 
+def _accepts_index(preprocessing) -> bool:
+    """True when ``preprocessing(img, index=i)`` is supported — lets
+    per-item-seeded transforms (data.transform.TrainTransform) get a
+    deterministic stream regardless of decode-thread scheduling."""
+    if preprocessing is None:
+        return False
+    import inspect
+
+    try:
+        return "index" in inspect.signature(preprocessing).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 class ImageCaptionDataset:
     """df columns: image, caption (internal_datasets.py:6-18)."""
 
@@ -58,6 +72,7 @@ class ImageCaptionDataset:
         self.images: List = list(df["image"])
         self.captions: List = list(df["caption"])
         self.preprocessing = preprocessing
+        self._wants_index = _accepts_index(preprocessing)
 
     def __len__(self):
         return len(self.captions)
@@ -65,7 +80,8 @@ class ImageCaptionDataset:
     def __getitem__(self, idx):
         img = load_image_rgb(self.images[idx])
         if self.preprocessing is not None:
-            img = self.preprocessing(img)
+            img = (self.preprocessing(img, index=idx)
+                   if self._wants_index else self.preprocessing(img))
         return img, self.captions[idx]
 
 
@@ -103,6 +119,7 @@ class ImageDataset:
         self.on_error = on_error
         self.zero_shape = zero_shape
         self.failed_indices: List[int] = []
+        self._wants_index = _accepts_index(preprocessing)
 
     def __len__(self):
         return len(self.images)
@@ -116,7 +133,8 @@ class ImageDataset:
             self.failed_indices.append(idx)
             img = np.zeros(self.zero_shape, np.uint8)
         if self.preprocessing is not None:
-            img = self.preprocessing(img)
+            img = (self.preprocessing(img, index=idx)
+                   if self._wants_index else self.preprocessing(img))
         return img
 
 
@@ -127,6 +145,7 @@ class ImageLabelDataset:
         self.images: List = list(df["image"])
         self.labels: List = list(df["label"])
         self.preprocessing = preprocessing
+        self._wants_index = _accepts_index(preprocessing)
 
     def __len__(self):
         return len(self.images)
@@ -134,7 +153,8 @@ class ImageLabelDataset:
     def __getitem__(self, idx):
         img = load_image_rgb(self.images[idx])
         if self.preprocessing is not None:
-            img = self.preprocessing(img)
+            img = (self.preprocessing(img, index=idx)
+                   if self._wants_index else self.preprocessing(img))
         return img, self.labels[idx]
 
 

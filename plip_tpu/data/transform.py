@@ -37,17 +37,24 @@ class TrainTransform:
     """Host half of the train pipeline: shortest-side resize to
     ``first_resize`` + random square crop of the long dim (cheap slice), so
     batches stack statically. Device half = ops.augment.augment_batch.
+
+    Crop randomness is STATELESS per item: each call derives its generator
+    from ``(seed, epoch, index)``. A shared stateful generator raced across
+    the loader's decode threads (np.random.Generator is not thread-safe and
+    the draw→image mapping depended on scheduling), which made training
+    pixels — and hence loss trajectories — nondeterministic run to run.
+    Bump ``epoch`` between epochs for fresh crops (CLIPTuner does).
     """
 
     first_resize: int = 512
     n_px: int = 224
     seed: int = 0
+    epoch: int = 0
 
     def __post_init__(self):
         self.aug = AugmentConfig(out_size=self.n_px)
-        self._rng = np.random.default_rng(self.seed)
 
-    def __call__(self, img_u8: np.ndarray) -> np.ndarray:
+    def __call__(self, img_u8: np.ndarray, index: int = 0) -> np.ndarray:
         from PIL import Image
 
         h, w = img_u8.shape[:2]
@@ -56,12 +63,15 @@ class TrainTransform:
             img_u8 = np.asarray(
                 Image.fromarray(img_u8).resize((rw, rh), Image.BICUBIC)
             )
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, index])
+        )
         # random square crop of the long dimension -> [first, first, 3]
         if rh > self.first_resize:
-            top = int(self._rng.integers(0, rh - self.first_resize + 1))
+            top = int(rng.integers(0, rh - self.first_resize + 1))
             img_u8 = img_u8[top : top + self.first_resize]
         if rw > self.first_resize:
-            left = int(self._rng.integers(0, rw - self.first_resize + 1))
+            left = int(rng.integers(0, rw - self.first_resize + 1))
             img_u8 = img_u8[:, left : left + self.first_resize]
         return np.ascontiguousarray(img_u8)
 

@@ -179,6 +179,9 @@ class CLIPTuner:
 
         key = jax.random.PRNGKey(0)
         for epoch in range(epochs):
+            # fresh (deterministic) host-side crop draws each epoch: the
+            # transform derives its RNG from (seed, epoch, item index)
+            self.train_preprocess.epoch = epoch
             train_loader = PrefetchLoader(
                 train_ds, batch_size, num_workers=num_workers, device_put=False
             )

@@ -251,3 +251,40 @@ def test_prefetch_loader_early_break_no_leak():
             break
     _time.sleep(1.5)  # producer should notice stop and exit
     assert threading.active_count() <= before + 1
+
+
+def test_train_transform_thread_deterministic(tmp_path):
+    """Host-side random crops are stateless per (seed, epoch, index):
+    two threaded loader passes yield bit-identical pixels (a shared
+    stateful Generator raced across decode threads before), distinct items
+    get distinct draws, and bumping epoch refreshes them."""
+    import numpy as np
+    import pandas as pd
+    from PIL import Image
+
+    from plip_tpu.data.datasets import ImageCaptionDataset
+    from plip_tpu.data.loader import PrefetchLoader
+    from plip_tpu.data.transform import TrainTransform
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(6):
+        p = str(tmp_path / f"im_{i}.png")
+        Image.fromarray(
+            rng.integers(0, 256, (240, 260, 3), dtype=np.uint8)).save(p)
+        rows.append({"image": p, "caption": f"c{i}"})
+    t = TrainTransform(first_resize=224, n_px=224, seed=0)
+    ds = ImageCaptionDataset(pd.DataFrame(rows), t)
+
+    def run():
+        loader = PrefetchLoader(ds, batch_size=3, num_workers=2,
+                                device_put=False)
+        return np.concatenate([np.asarray(b[0]) for b, n in loader])
+
+    a, b = run(), run()
+    np.testing.assert_array_equal(a, b)
+    # distinct items must not share one draw (index folds into the seed)
+    assert not np.array_equal(a[0], a[1])
+    t.epoch = 1
+    c = run()
+    assert not np.array_equal(a, c)  # fresh crops next epoch
