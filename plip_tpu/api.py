@@ -383,8 +383,18 @@ class PLIP:
         self.image_vectors = self.encode_images(images, batch_size=batch_size)
         return self.image_vectors
 
-    def retrieval(self, queries: List[str], top_k: int = 10) -> np.ndarray:
-        """Text->image retrieval over the built index: [Q, top_k] indices."""
+    def retrieval(
+        self, queries: List[str], top_k: int = 10, backend: str = "auto"
+    ) -> np.ndarray:
+        """Text->image retrieval over the built index: [Q, top_k] indices.
+
+        backend: "host" = numpy argsort over the full [Q, N] score matrix
+        (reference semantics, plip.py:78-87); "device" = streaming MXU
+        top-k that never materializes [Q, N] (ops/retrieval.py — the
+        WSI-scale path; identical ranking, queries-only normalization);
+        "auto" = device when an accelerator is present and the index is
+        large enough for the host matmul to matter, else host.
+        """
         if self.image_vectors is None:
             raise RuntimeError(
                 "No image index: call build_image_index(images) (or assign "
@@ -393,6 +403,21 @@ class PLIP:
                 "contract explicit instead."
             )
         text_vectors = self.encode_text(queries, batch_size=8)
+        n = np.asarray(self.image_vectors).shape[0]
+        if backend == "auto":
+            backend = (
+                "device"
+                if jax.default_backend() != "cpu" and n >= 65536
+                else "host"
+            )
+        if backend == "device":
+            from .ops.retrieval import cosine_topk
+
+            idx, _ = cosine_topk(
+                text_vectors, self.image_vectors, k=top_k,
+                normalize="queries", mesh=self.mesh,
+            )
+            return idx
         return self._nearest_neighbours(
             k=top_k, key_vectors=text_vectors, space_vectors=self.image_vectors
         )

@@ -1,0 +1,173 @@
+"""Device-side streaming top-k retrieval.
+
+TPU-native scale-up of the reference's retrieval loop
+(`/root/reference/plip.py:78-87` argsort; `/root/reference/reproducibility/
+evaluation/retrieval/retrieval.py:13-18` per-query argsort): the similarity
+matmul runs on the MXU and top-k never materializes the full [Q, N] score
+matrix in host memory. The index is streamed through a ``lax.scan`` in
+fixed-size row chunks; the carry holds the running [Q, k] best
+(values, indices) and each chunk merges via ``lax.top_k`` over
+``concat([carry, chunk_scores])`` — O(N·Q·D) MXU work with HBM bounded by
+one chunk + the carry, so WSI-scale corpora (millions of tiles) stream
+without a [Q, N] intermediate.
+
+Multi-chip: pass ``mesh`` to shard the INDEX rows over the ``dp`` axis —
+each device streams its local shard, then the [Q, dp*k] candidates gather
+over ICI and a final top-k picks the global winners (``shard_map`` +
+``all_gather``; XLA inserts the collective).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _chunk_topk_scan(queries, index, k: int, chunk: int, n_valid,
+                     vary_axis: "str | None" = None):
+    """Streaming top-k over ``index`` rows (padded to a chunk multiple).
+
+    queries: [Q, D]; index: [Np, D] with rows >= n_valid zero-padded
+    (``n_valid`` may be traced — the mesh path passes a per-device count).
+    ``vary_axis``: inside shard_map, the mesh axis this stream varies over —
+    the scan carry must be marked varying on it or the carry types mismatch.
+    Returns (values [Q, k], indices [Q, k]) sorted descending per row.
+    """
+    Q = queries.shape[0]
+    n_chunks = index.shape[0] // chunk
+    chunks = index.reshape(n_chunks, chunk, index.shape[1])
+
+    init = (
+        jnp.full((Q, k), -jnp.inf, jnp.float32),
+        jnp.full((Q, k), -1, jnp.int32),
+    )
+    if vary_axis is not None:
+        init = jax.lax.pcast(init, (vary_axis,), to="varying")
+
+    def body(carry, xs):
+        best_v, best_i = carry
+        rows, c_idx = xs
+        # [Q, chunk] similarity on the MXU, fp32 accumulation
+        scores = jnp.dot(
+            queries, rows.T, preferred_element_type=jnp.float32
+        ).astype(jnp.float32)
+        row_ids = c_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        # mask padded index rows out of the ranking
+        scores = jnp.where(row_ids[None, :] < n_valid, scores, -jnp.inf)
+        cat_v = jnp.concatenate([best_v, scores], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(row_ids[None, :], scores.shape)], axis=1
+        )
+        new_v, sel = jax.lax.top_k(cat_v, k)
+        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (new_v, new_i), None
+
+    (vals, idxs), _ = jax.lax.scan(
+        body, init, (chunks, jnp.arange(n_chunks, dtype=jnp.int32))
+    )
+    return vals, idxs
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "n_valid"))
+def _topk_jit(queries, index, k: int, chunk: int, n_valid: int):
+    return _chunk_topk_scan(queries, index, k, chunk, n_valid)
+
+
+def cosine_topk(
+    query_vectors,
+    index_vectors,
+    k: int = 10,
+    normalize: bool = True,
+    chunk: int = 8192,
+    mesh=None,
+):
+    """Top-k cosine-similarity retrieval on device.
+
+    query_vectors: [Q, D] host or device array.
+    index_vectors: [N, D] retrieval corpus (device-resident between calls if
+        the caller keeps the returned arrays alive — pass jnp arrays).
+    normalize: True/"both" = L2-normalize both sides (cosine);
+        "queries" = normalize queries only — the reference PLIP API's
+        ranking semantics (`/root/reference/plip.py:73-76` normalizes keys
+        and leaves the space raw); False = raw dot scores.
+    chunk: index rows per scan step (bounds the [Q, chunk] score tile).
+    mesh: optional ``plip_tpu.parallel`` mesh — index rows shard over its
+        ``dp`` axis and candidates gather over ICI.
+
+    Returns (indices [Q, k] int32, scores [Q, k] fp32), descending.
+    """
+    q = jnp.asarray(query_vectors, jnp.float32)
+    x = jnp.asarray(index_vectors, jnp.float32)
+    n = x.shape[0]
+    k = min(k, n)
+    if normalize in (True, "both", "queries"):
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    if normalize in (True, "both"):
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+    if mesh is not None:
+        return _cosine_topk_mesh(q, x, k, chunk, mesh)
+
+    chunk = max(k, min(chunk, n))
+    n_pad = -(-n // chunk) * chunk
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    vals, idxs = _topk_jit(q, x, k, chunk, n)
+    return np.asarray(idxs), np.asarray(vals)
+
+
+def _cosine_topk_mesh(q, x, k: int, chunk: int, mesh):
+    """Index rows sharded over the mesh's dp axis; per-shard streaming
+    top-k, then an all-gather of [Q, k] candidates and a final top-k."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    n = x.shape[0]
+    dp = mesh.shape["dp"]
+    shard = -(-n // dp)
+    chunk = max(k, min(chunk, shard))
+    shard_pad = -(-shard // chunk) * chunk
+    n_pad = shard_pad * dp
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+
+    def local(qs, xs):
+        # xs: this device's [shard_pad, D] rows; global ids recovered from
+        # the shard offset so the final merge returns corpus indices. Pad
+        # rows (zero vectors, score 0) must be masked INSIDE the local
+        # stream — ranked at 0 they could displace real negative-score
+        # candidates from the local top-k before the global merge.
+        ax = jax.lax.axis_index("dp")
+        real = jnp.clip(n - ax * shard_pad, 0, shard_pad)
+        vals, idxs = _chunk_topk_scan(qs, xs, k, chunk, n_valid=real,
+                                      vary_axis="dp")
+        gids = ax * shard_pad + idxs
+        vals = jnp.where(gids < n, vals, -jnp.inf)  # belt-and-braces
+        cv = jax.lax.all_gather(vals, "dp", axis=1, tiled=True)  # [Q, dp*k]
+        ci = jax.lax.all_gather(gids, "dp", axis=1, tiled=True)
+        best_v, sel = jax.lax.top_k(cv, k)
+        return best_v, jnp.take_along_axis(ci, sel, axis=1)
+
+    # every device holds the identical merged result after the all_gather +
+    # final top_k, but the varying-axis checker can't infer that — disable
+    # the replication check (check_vma on jax >= 0.8, check_rep before)
+    try:
+        fn = shard_map(
+            local, mesh=mesh, in_specs=(P(), P("dp", None)),
+            out_specs=(P(), P()), check_vma=False,
+        )
+    except TypeError:  # pragma: no cover — older jax
+        fn = shard_map(
+            local, mesh=mesh, in_specs=(P(), P("dp", None)),
+            out_specs=(P(), P()), check_rep=False,
+        )
+    vals, idxs = jax.jit(fn)(q, x)
+    return np.asarray(idxs).astype(np.int32), np.asarray(vals)
