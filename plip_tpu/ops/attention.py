@@ -20,6 +20,7 @@ layout — so training avoids the XLA logits round-trip in both directions.
 from __future__ import annotations
 
 import functools
+import os
 import jax
 import jax.numpy as jnp
 
@@ -59,7 +60,7 @@ def _mha_kernel(qkv_ref, out_ref, *, heads: int, head_dim: int, causal: bool,
 
 
 def _pallas_mha(qkv: jnp.ndarray, heads: int, causal: bool,
-                block_b: int = 1, interpret: bool = False,
+                block_b: int = 1, interpret: "bool | None" = None,
                 s_valid: "int | None" = None) -> jnp.ndarray:
     # block_b=1 measured fastest on v5e (smaller blocks pipeline better:
     # 11.5k img/s vs 8.8k at block_b=8 for ViT-B/32 batch-512 encode)
@@ -83,7 +84,7 @@ def _pallas_mha(qkv: jnp.ndarray, heads: int, causal: bool,
         out_specs=pl.BlockSpec((block_b, S, W), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, W), qkv.dtype),
-        interpret=interpret,
+        interpret=_interpret_mode() if interpret is None else interpret,
     )(qkv)
 
 
@@ -149,7 +150,7 @@ def _mha_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads: int, head_dim: int,
 
 
 def _pallas_mha_bwd(qkv: jnp.ndarray, g: jnp.ndarray, heads: int, causal: bool,
-                    block_b: int = 1, interpret: bool = False,
+                    block_b: int = 1, interpret: "bool | None" = None,
                     s_valid: "int | None" = None) -> jnp.ndarray:
     B, S, W3 = qkv.shape
     W = W3 // 3
@@ -172,7 +173,7 @@ def _pallas_mha_bwd(qkv: jnp.ndarray, g: jnp.ndarray, heads: int, causal: bool,
         out_specs=pl.BlockSpec((block_b, S, W3), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, W3), qkv.dtype),
-        interpret=interpret,
+        interpret=_interpret_mode() if interpret is None else interpret,
     )(qkv, g)
 
 
@@ -297,7 +298,7 @@ def _headgrid_kernel(qkv_ref, o_ref, *, heads: int, head_dim: int,
 
 
 def _pallas_mha_headgrid(qkv: jnp.ndarray, heads: int, causal: bool,
-                         interpret: bool = False,
+                         interpret: "bool | None" = None,
                          hpp: int | None = None) -> jnp.ndarray:
     B, S, W3 = qkv.shape
     W = W3 // 3
@@ -320,12 +321,12 @@ def _pallas_mha_headgrid(qkv: jnp.ndarray, heads: int, causal: bool,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-        interpret=interpret,
+        interpret=_interpret_mode() if interpret is None else interpret,
     )(qkv)
 
 
 def _pallas_flash_mha(qkv: jnp.ndarray, heads: int, causal: bool,
-                      interpret: bool = False,
+                      interpret: "bool | None" = None,
                       block_q: int | None = None) -> jnp.ndarray:
     B, S, W3 = qkv.shape
     W = W3 // 3
@@ -352,7 +353,7 @@ def _pallas_flash_mha(qkv: jnp.ndarray, heads: int, causal: bool,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-        interpret=interpret,
+        interpret=_interpret_mode() if interpret is None else interpret,
     )(qkv, qkv)
 
 
@@ -379,9 +380,19 @@ def _jnp_mha(qkv: jnp.ndarray, heads: int, causal: bool,
     return ctx.astype(qkv.dtype).reshape(B, S, W)
 
 
+def _interpret_mode() -> bool:
+    """PLIP_TPU_INTERPRET=1: run every Pallas kernel in interpret mode —
+    lets CPU CI drive the REAL fused-kernel dispatch end-to-end (slow;
+    tiny shapes only). Wrappers whose ``interpret`` arg is None resolve it
+    from this."""
+    return os.environ.get("PLIP_TPU_INTERPRET", "") == "1"
+
+
 def _use_pallas() -> bool:
     if not _HAS_PALLAS:
         return False
+    if _interpret_mode():
+        return True
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
@@ -624,7 +635,7 @@ def _attn_sublayer_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
 
 def _pallas_attn_sublayer_flat(x2, ln_p, attn_p, S, heads, causal, eps,
                                block_b: "int | None" = None,
-                               interpret: bool = False,
+                               interpret: "bool | None" = None,
                                s_valid: "int | None" = None,
                                emit_qkv: bool = False):
     # block_b=4 (M=200 token rows) measured best on v5e for the flat
@@ -675,14 +686,14 @@ def _pallas_attn_sublayer_flat(x2, ln_p, attn_p, S, heads, causal, eps,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-        interpret=interpret,
+        interpret=_interpret_mode() if interpret is None else interpret,
     )(x2, ln_p["scale"], ln_p["bias"], wqkv,
       attn_p["qkv"]["bias"], wout, attn_p["out"]["bias"])
 
 
 def _pallas_attn_sublayer(x, ln_p, attn_p, heads, causal, eps,
                           block_b: "int | None" = None,
-                          interpret: bool = False):
+                          interpret: "bool | None" = None):
     """[B, S, W] compatibility wrapper over the flat kernel. Prefer
     ``attention_sublayer_flat`` inside towers: the reshape here is a real
     tile-relayout copy on TPU ([B, 50, W] pads S to 56 sublanes in HBM)."""
@@ -1027,7 +1038,7 @@ def _attn_sublayer_bwd_split_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
 
 def _pallas_attn_sublayer_bwd_split(x2, g2, ln_p, attn_p, S, heads, causal,
                                     eps, block_b: "int | None" = None,
-                                    interpret: bool = False,
+                                    interpret: "bool | None" = None,
                                     s_valid: "int | None" = None,
                                     qkv2=None):
     """Returns (dx2, dln_p, dattn_p) like `_pallas_attn_sublayer_bwd_flat`,
@@ -1092,7 +1103,7 @@ def _pallas_attn_sublayer_bwd_split(x2, g2, ln_p, attn_p, S, heads, causal,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
-        interpret=interpret,
+        interpret=_interpret_mode() if interpret is None else interpret,
     )(*args)
     # Weight grads as plain XLA dots (dot + DUS fusions in the bwd scan,
     # ~90% of peak); fp32 accumulation matches the fused kernel's.
@@ -1117,7 +1128,7 @@ def _pallas_attn_sublayer_bwd_split(x2, g2, ln_p, attn_p, S, heads, causal,
 
 def _pallas_attn_sublayer_bwd_flat(x2, g2, ln_p, attn_p, S, heads, causal,
                                    eps, block_b: "int | None" = None,
-                                   interpret: bool = False,
+                                   interpret: "bool | None" = None,
                                    s_valid: "int | None" = None):
     """Returns (dx2, dln_p, dattn_p) with fp32 weight grads (param dtype);
     dx2 is flat [N, W] like the inputs."""
@@ -1166,7 +1177,7 @@ def _pallas_attn_sublayer_bwd_flat(x2, g2, ln_p, attn_p, S, heads, causal,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
-        interpret=interpret,
+        interpret=_interpret_mode() if interpret is None else interpret,
     )(x2, g2, ln_p["scale"], ln_p["bias"],
       wqkv, attn_p["qkv"]["bias"], wout)
     pdt = ln_p["scale"].dtype
@@ -1182,7 +1193,7 @@ def _pallas_attn_sublayer_bwd_flat(x2, g2, ln_p, attn_p, S, heads, causal,
 
 def _pallas_attn_sublayer_bwd(x, g, ln_p, attn_p, heads, causal, eps,
                               block_b: "int | None" = None,
-                              interpret: bool = False):
+                              interpret: "bool | None" = None):
     """[B, S, W] compatibility wrapper over the flat backward kernel."""
     B, S, W = x.shape
     dx, dln_p, dattn_p = _pallas_attn_sublayer_bwd_flat(

@@ -59,6 +59,7 @@ except ImportError:  # pragma: no cover
     _HAS_PALLAS = False
 
 from .attention import (
+    _interpret_mode,
     _blockdiag_mask,
     _pallas_attn_sublayer_flat,
     _sublayer_block_b,
@@ -233,7 +234,7 @@ def _block_bwd_kernel(x_ref, g_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
 
 def _pallas_block_bwd_flat(x2, g2, p, S, heads, causal, eps,
                            block_b: "int | None" = None,
-                           interpret: bool = False,
+                           interpret: "bool | None" = None,
                            s_valid: "int | None" = None):
     """Returns (dx2, dp) — dp mirrors the block param tree with fp32 grads
     cast to each param's dtype; dx2 is flat [N, W] like the inputs."""
@@ -296,7 +297,7 @@ def _pallas_block_bwd_flat(x2, g2, p, S, heads, causal, eps,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024
         ),
-        interpret=interpret,
+        interpret=_interpret_mode() if interpret is None else interpret,
     )(x2, g2, p["ln1"]["scale"], p["ln1"]["bias"],
       wqkv, attn_p["qkv"]["bias"], wout, attn_p["out"]["bias"],
       p["ln2"]["scale"], p["ln2"]["bias"],

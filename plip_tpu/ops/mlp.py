@@ -48,7 +48,7 @@ try:
 except ImportError:  # pragma: no cover
     _HAS_PALLAS = False
 
-from .attention import _sublayer_block_b, _use_pallas
+from .attention import _interpret_mode, _sublayer_block_b, _use_pallas
 
 
 def _mlp_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
@@ -117,7 +117,7 @@ def _mlp_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
 
 def _pallas_mlp_bwd_flat(x2, g2, ln_p, mlp_p, eps,
                          block_b: "int | None" = None, S: int = 8,
-                         interpret: bool = False):
+                         interpret: "bool | None" = None):
     """Returns (dx2, dln_p, dmlp_p); dx2 flat [N, W] like the inputs.
 
     ``S`` only feeds the block picker (the MLP is per-token, so any S whose
@@ -171,7 +171,7 @@ def _pallas_mlp_bwd_flat(x2, g2, ln_p, mlp_p, eps,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
-        interpret=interpret,
+        interpret=_interpret_mode() if interpret is None else interpret,
     )(x2, g2, ln_p["scale"], ln_p["bias"], w1, mlp_p["fc1"]["bias"], w2)
     pdt = ln_p["scale"].dtype
     dln_p = {"scale": dlns.astype(pdt), "bias": dlnb.astype(pdt)}
@@ -212,7 +212,7 @@ def _mlp_fwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 
 def _pallas_mlp_fwd_flat(x2, ln_p, mlp_p, eps, block_b: "int | None" = None,
-                         S: int = 8, interpret: bool = False):
+                         S: int = 8, interpret: "bool | None" = None):
     N, W = x2.shape
     B = N // S
     if block_b is None:
@@ -239,7 +239,7 @@ def _pallas_mlp_fwd_flat(x2, ln_p, mlp_p, eps, block_b: "int | None" = None,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
-        interpret=interpret,
+        interpret=_interpret_mode() if interpret is None else interpret,
     )(x2, ln_p["scale"], ln_p["bias"],
       mlp_p["fc1"]["kernel"].astype(x2.dtype), mlp_p["fc1"]["bias"],
       mlp_p["fc2"]["kernel"].astype(x2.dtype), mlp_p["fc2"]["bias"])
