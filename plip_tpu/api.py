@@ -391,9 +391,11 @@ class PLIP:
         backend: "host" = numpy argsort over the full [Q, N] score matrix
         (reference semantics, plip.py:78-87); "device" = streaming MXU
         top-k that never materializes [Q, N] (ops/retrieval.py — the
-        WSI-scale path; identical ranking, queries-only normalization);
-        "auto" = device when an accelerator is present and the index is
-        large enough for the host matmul to matter, else host.
+        WSI-scale path; identical scores and queries-only normalization,
+        but EXACT ties rank earliest-index-first on device while the host
+        argsort's tie order is unstable); "auto" = device when an
+        accelerator is present and the index is large enough for the host
+        matmul to matter, else host.
         """
         if self.image_vectors is None:
             raise RuntimeError(
@@ -402,8 +404,13 @@ class PLIP:
                 "crashes here on an unset attribute (plip.py:114); we make the "
                 "contract explicit instead."
             )
+        if backend not in ("auto", "host", "device"):
+            raise ValueError(
+                f"unknown retrieval backend {backend!r} "
+                "(expected 'auto', 'host', or 'device')"
+            )
         text_vectors = self.encode_text(queries, batch_size=8)
-        n = np.asarray(self.image_vectors).shape[0]
+        n = np.shape(self.image_vectors)[0]  # no D2H copy for device indexes
         if backend == "auto":
             backend = (
                 "device"
@@ -413,8 +420,17 @@ class PLIP:
         if backend == "device":
             from .ops.retrieval import cosine_topk
 
+            # keep the corpus device-resident across calls: one H2D upload
+            # per index, not per query batch (WSI-scale indexes are GBs and
+            # H2D is the wall on tunneled rigs)
+            key = (id(self.image_vectors), n)
+            if getattr(self, "_device_index_key", None) != key:
+                self._device_index = jnp.asarray(
+                    self.image_vectors, jnp.float32
+                )
+                self._device_index_key = key
             idx, _ = cosine_topk(
-                text_vectors, self.image_vectors, k=top_k,
+                text_vectors, self._device_index, k=top_k,
                 normalize="queries", mesh=self.mesh,
             )
             return idx

@@ -108,7 +108,7 @@ def _block_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref,
 
 
 def _pallas_block(x, p, heads, causal, eps, block_b: int = 8,
-                  interpret: bool = False):
+                  interpret: "bool | None" = None):
     B, S, W = x.shape
     while B % block_b:
         block_b //= 2
@@ -142,7 +142,7 @@ def _pallas_block(x, p, heads, causal, eps, block_b: int = 8,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
-        interpret=interpret,
+        interpret=(_interpret_default() if interpret is None else interpret),
     )(
         x,
         p["ln1"]["scale"], p["ln1"]["bias"],
@@ -162,13 +162,18 @@ def _jnp_block(x, p, heads, causal, eps):
     return x + mlp(layer_norm(x, p["ln2"], eps), p["mlp"], "quick_gelu")
 
 
+def _interpret_default() -> bool:
+    from .attention import _interpret_mode
+
+    return _interpret_mode()
+
+
 def _use_pallas() -> bool:
-    if not _HAS_PALLAS:
-        return False
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
+    # shared gate (incl. PLIP_TPU_INTERPRET=1 CPU coverage) — keep in sync
+    # with ops.attention rather than duplicating the platform check
+    from .attention import _use_pallas as _gate
+
+    return _HAS_PALLAS and _gate()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

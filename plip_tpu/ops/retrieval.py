@@ -46,7 +46,13 @@ def _chunk_topk_scan(queries, index, k: int, chunk: int, n_valid,
         jnp.full((Q, k), -1, jnp.int32),
     )
     if vary_axis is not None:
-        init = jax.lax.pcast(init, (vary_axis,), to="varying")
+        # jax >= 0.8 spells this pcast(to="varying"); older jax had pvary
+        pcast = getattr(jax.lax, "pcast", None)
+        if pcast is not None:
+            init = pcast(init, (vary_axis,), to="varying")
+        else:  # pragma: no cover — older jax
+            init = jax.tree.map(
+                lambda a: jax.lax.pvary(a, (vary_axis,)), init)
 
     def body(carry, xs):
         best_v, best_i = carry
@@ -72,8 +78,11 @@ def _chunk_topk_scan(queries, index, k: int, chunk: int, n_valid,
     return vals, idxs
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "n_valid"))
-def _topk_jit(queries, index, k: int, chunk: int, n_valid: int):
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _topk_jit(queries, index, k: int, chunk: int, n_valid):
+    # n_valid is TRACED (a jnp scalar): growing/shrinking corpora of the
+    # same padded length reuse one executable instead of recompiling
+    # (~40 s/compile through the axon tunnel)
     return _chunk_topk_scan(queries, index, k, chunk, n_valid)
 
 
@@ -99,10 +108,16 @@ def cosine_topk(
         ``dp`` axis and candidates gather over ICI.
 
     Returns (indices [Q, k] int32, scores [Q, k] fp32), descending.
+    Exact ties rank earliest-corpus-index first (lax.top_k is stable);
+    the host argsort path's tie order is unstable — rankings are
+    otherwise identical.
     """
     q = jnp.asarray(query_vectors, jnp.float32)
     x = jnp.asarray(index_vectors, jnp.float32)
     n = x.shape[0]
+    if n == 0:  # empty corpus: mirror the host path's [Q, 0] result
+        return (np.zeros((q.shape[0], 0), np.int32),
+                np.zeros((q.shape[0], 0), np.float32))
     k = min(k, n)
     if normalize in (True, "both", "queries"):
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
@@ -116,7 +131,7 @@ def cosine_topk(
     n_pad = -(-n // chunk) * chunk
     if n_pad != n:
         x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
-    vals, idxs = _topk_jit(q, x, k, chunk, n)
+    vals, idxs = _topk_jit(q, x, k, chunk, jnp.int32(n))
     return np.asarray(idxs), np.asarray(vals)
 
 

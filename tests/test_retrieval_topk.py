@@ -72,3 +72,24 @@ def test_api_retrieval_device_backend(tmp_path):
     dev = m.retrieval(["tumor tissue", "benign gland"], top_k=3,
                       backend="device")
     np.testing.assert_array_equal(np.asarray(host), np.asarray(dev))
+
+
+def test_empty_corpus_matches_host_shape():
+    """n=0 returns [Q, 0] like the host path instead of crashing."""
+    q = np.random.default_rng(0).standard_normal((3, 8)).astype(np.float32)
+    idx, vals = cosine_topk(q, np.zeros((0, 8), np.float32), k=5)
+    assert idx.shape == (3, 0) and vals.shape == (3, 0)
+
+
+def test_api_retrieval_bad_backend(tmp_path):
+    from PIL import Image
+
+    from plip_tpu.api import PLIP
+
+    rng = np.random.default_rng(1)
+    p = str(tmp_path / "a.png")
+    Image.fromarray(rng.integers(0, 256, (224, 224, 3), dtype=np.uint8)).save(p)
+    m = PLIP("random:ViT-B/32")
+    m.build_image_index([p], batch_size=1)
+    with pytest.raises(ValueError, match="unknown retrieval backend"):
+        m.retrieval(["x"], top_k=1, backend="devise")
