@@ -20,6 +20,7 @@ from plip_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache("/root/repo/.jax_cache")
 
 import time
+from functools import partial
 
 import numpy as np
 
@@ -53,14 +54,16 @@ def main():
 
     step = make_train_step(cfg, opt, dtype=jnp.bfloat16, remat=("mlp", "mlp"))
 
-    @jax.jit
+    # Donate the 5.1 GB fp32 train state: without donation input+output
+    # states coexist across a call (10.2 GB) and b>=96 OOMs before the
+    # model's own working set is even counted.
+    @partial(jax.jit, donate_argnums=(0,))
     def steps(state, px, ids, n):
         def body(_, s):
             s2, _ = step(s, px, ids)
             return s2
         return jax.lax.fori_loop(0, n, body, state)
 
-    runners = {}
     A._TRAIN_FWD_COMPOSED_OVERRIDE = True
     try:
         for b in BATCHES:
@@ -71,28 +74,25 @@ def main():
                 float(state.params["logit_scale"])
                 print(f"compiled b{b} in {time.perf_counter()-t0:.0f}s",
                       flush=True)
-                runners[b] = True
+                ts = []
+                for _ in range(3):
+                    state = steps(state, px, ids, 1)
+                    float(state.params["logit_scale"])
+                    t0 = time.perf_counter()
+                    state = steps(state, px, ids, 5)
+                    float(state.params["logit_scale"])
+                    ts.append((time.perf_counter() - t0) / 5)
+                best = min(ts)
+                print(f"b{b}: best {best*1e3:7.1f} ms  {b/best:6,.0f} pairs/s"
+                      f"  (all: {', '.join(f'{t*1e3:.1f}' for t in ts)})",
+                      flush=True)
             except Exception as e:
                 print(f"b{b}: FAILED {type(e).__name__}: {str(e)[:200]}",
                       flush=True)
+                state = None
                 state = init_train_state(params, opt)
-
-        times = {b: [] for b in runners}
-        for rnd in range(3):
-            for b in runners:
-                px, ids = data[b]
-                state = steps(state, px, ids, 1)
-                float(state.params["logit_scale"])
-                t0 = time.perf_counter()
-                state = steps(state, px, ids, 5)
-                float(state.params["logit_scale"])
-                times[b].append((time.perf_counter() - t0) / 5)
     finally:
         A._TRAIN_FWD_COMPOSED_OVERRIDE = None
-    for b, ts in times.items():
-        best = min(ts)
-        print(f"b{b}: best {best*1e3:7.1f} ms  {b/best:6,.0f} pairs/s"
-              f"  (all: {', '.join(f'{t*1e3:.1f}' for t in ts)})")
 
 
 if __name__ == "__main__":

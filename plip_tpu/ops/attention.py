@@ -485,14 +485,18 @@ def _core_chunk(S: int, block_b: int, bwd: bool) -> "int | None":
               head (waste (c-1)/c, dots still MXU-sized).
 
     Defaults: S > 128 rows are row-blocked (block-diag waste there is a
-    large share of no-longer-small core FLOPs); S <= 128 whole-block.
+    large share of no-longer-small core FLOPs); S <= 128 chunk=2 where
+    legal (text S=80 bb=8: 230.9 vs 234.1 ms b512 train, +1.4% — the
+    measured round-3 winner over whole-block; row-blocked chunk=1 lost),
+    falling back to whole-block otherwise (vision S=50 is not 8-alignable
+    at c=2, so it keeps the whole-block core unchanged).
     Chunk slicing needs 8-aligned sublane offsets ((c*S) % 8 == 0) and
     block_b % c == 0 — illegal requests fall back to whole-block."""
     if _ROW_CORE_OVERRIDE is not None:
         v = _ROW_CORE_OVERRIDE.get("bwd" if bwd else "fwd", False)
         want = None if v in (False, None) else (1 if v is True else int(v))
     else:
-        want = 1 if S > 128 else None
+        want = 1 if S > 128 else 2
     if want is None or want >= block_b:
         return None
     if block_b % want or (want * S) % 8:

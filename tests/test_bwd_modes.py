@@ -121,14 +121,17 @@ def test_row_core_override_exact(causal):
 
 
 def test_core_chunk_policy():
-    """Default policy: row-blocked (chunk=1) only above S=128; chunks whose
-    (c*S) % 8 != 0 or that don't divide block_b fall back to whole-block."""
+    """Default policy: row-blocked (chunk=1) above S=128; chunk=2 for
+    S <= 128 where legal (the measured round-3 text-tower winner); chunks
+    whose (c*S) % 8 != 0 or that don't divide block_b fall back to
+    whole-block."""
     assert A._core_chunk(264, 4, bwd=True) == 1
     assert A._core_chunk(264, 4, bwd=False) == 1
     assert A._core_chunk(264, 1, bwd=True) is None   # chunk >= bb: whole
-    assert A._core_chunk(80, 8, bwd=True) is None
-    assert A._core_chunk(80, 8, bwd=False) is None
-    assert A._core_chunk(50, 4, bwd=True) is None
+    assert A._core_chunk(80, 8, bwd=True) == 2       # text: 4x [160, 160]
+    assert A._core_chunk(80, 8, bwd=False) == 2
+    assert A._core_chunk(80, 2, bwd=True) is None    # chunk >= bb: whole
+    assert A._core_chunk(50, 4, bwd=True) is None    # (2*50) % 8: illegal
     A._ROW_CORE_OVERRIDE = {"fwd": False, "bwd": True}
     try:
         assert A._core_chunk(80, 8, bwd=True) == 1
