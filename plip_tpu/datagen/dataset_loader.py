@@ -48,8 +48,18 @@ def _add_style4(df, by_col, values, template):
     return out.reset_index(drop=True)
 
 
-def process_Kather_csv(root_dir: str, seed: Optional[int] = None) -> Tuple:
-    """Kather/CRC-100K: 9-subtype prompts from the 100K train / 7K val CSVs."""
+def process_Kather_csv(
+    root_dir: str, seed: Optional[int] = None, reroot: bool = True
+) -> Tuple:
+    """Kather/CRC-100K: 9-subtype prompts from the 100K train / 7K val CSVs.
+
+    The published CSVs carry absolute paths from the authors' cluster; the
+    reference remaps them onto ``root_dir`` by splitting at the
+    ``pathtweets/`` tree marker (_dataset_loader.py:33-34). ``reroot=True``
+    reproduces that remapping for any path containing the marker; paths
+    without it (CSVs regenerated locally) pass through unchanged, and
+    ``reroot=False`` disables remapping entirely.
+    """
     import pandas as pd
 
     train_csv = opj(root_dir, "data_validation", "Kather_100K_Colon",
@@ -57,10 +67,16 @@ def process_Kather_csv(root_dir: str, seed: Optional[int] = None) -> Tuple:
     test_csv = opj(root_dir, "data_validation", "Kather_100K_Colon",
                    "image_fullpath_text_pair_7K_validation.csv")
 
+    def reroot_path(v: str) -> str:
+        if reroot and "pathtweets/" in v:
+            return root_dir.rstrip("/") + "/" + v.split("pathtweets/")[1]
+        return v
+
     def process_csv(path2csv):
         df = pd.read_csv(path2csv)
         df = df[["image_fullpath", "label"]]
         df.columns = ["image", "label"]
+        df["image"] = [reroot_path(v) for v in df["image"]]
         df["label_text"] = [KATHER_SUBTYPES[v] for v in df["label"]]
         return _add_style4(df, "label", KATHER_SUBTYPES.keys(),
                            "An H&E image patch of [].")

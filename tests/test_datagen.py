@@ -192,3 +192,31 @@ def test_resize_split(tmp_path):
     assert len(out) == 3
     for p in out["image"]:
         assert np.asarray(Image.open(p)).shape == (224, 224, 3)
+
+
+def test_kather_reroot(tmp_path):
+    # published CSVs carry absolute cluster paths containing 'pathtweets/';
+    # the loader must remap them onto root_dir (_dataset_loader.py:33-34)
+    from plip_tpu.datagen.dataset_loader import process_Kather_csv
+
+    root = tmp_path / "root"
+    d = root / "data_validation" / "Kather_100K_Colon"
+    d.mkdir(parents=True)
+    cluster = "/oak/stanford/groups/xyz/pathtweets/data_validation/K/ADI-x.tif"
+    local = str(root / "local" / "ADI-y.tif")  # no marker: passes through
+    for name in ("image_fullpath_text_pair_100K.csv",
+                 "image_fullpath_text_pair_7K_validation.csv"):
+        pd.DataFrame({
+            "image_fullpath": [cluster, local],
+            "label": ["ADI", "TUM"],
+        }).to_csv(d / name, index=False)
+
+    train, test = process_Kather_csv(str(root))
+    assert str(root / "data_validation" / "K" / "ADI-x.tif") in set(train["image"])
+    assert local in set(train["image"])
+    assert set(train["label_text"]) == {
+        "adipose tissue", "colorectal adenocarcinoma epithelium"}
+    assert train["text_style_4"].str.startswith("An H&E image patch of").all()
+
+    train_raw, _ = process_Kather_csv(str(root), reroot=False)
+    assert cluster in set(train_raw["image"])
