@@ -412,9 +412,20 @@ class PLIP:
         text_vectors = self.encode_text(queries, batch_size=8)
         n = np.shape(self.image_vectors)[0]  # no D2H copy for device indexes
         if backend == "auto":
+            # Measured crossover (experiments/bench_retrieval.py, v5e, D=512
+            # k=10): host matmul+argsort costs ~N·Q/30k ms plus an argsort
+            # term that reaches 62 ms at N=262k even for Q=1; a device
+            # one-shot costs ~1-9 ms compute + one host↔device round trip
+            # (26 ms on this tunneled rig — the dominant term). Device wins
+            # at N≥262144 for any Q, and from N·Q ≥ ~1M below that
+            # (e.g. N=16k Q=64: 35 ms host vs 28 ms device). On a directly
+            # attached TPU the round trip is sub-ms and the device path wins
+            # from N≈16k at any Q; this gate is the conservative setting.
+            q = np.shape(text_vectors)[0]
             backend = (
                 "device"
-                if jax.default_backend() != "cpu" and n >= 65536
+                if jax.default_backend() != "cpu"
+                and (n >= 262144 or n * q >= 1 << 20)
                 else "host"
             )
         if backend == "device":
