@@ -1,0 +1,195 @@
+"""Attention-CORE variants at ViT-L/14 geometry (B=128, S=257, W=1024, 16
+heads) — aimed by the round-4 profile: the per-row kernel runs 29.0 ms/batch
+(1.21 ms/layer) where the FLOP floor is 0.18 ms/layer, while every dense
+matmul is already at 90-100% of peak. One process, interleaved (CLAUDE.md).
+
+Variants:
+  perrow      current dispatch (_pallas_mha block_b=1)
+  perrow_bb2  two batch rows per program (more independent chains)
+  headgrid2/4 (batch, head-group) grid, 2/4 heads per program
+  flash264    q-blocked flash (whole 264-row q block)
+  split256    NEW: KV split at 256 — logits as one [257, 256] lane-exact dot
+              + a rank-1 tail column; PV as [257,256]@[256,64] + outer
+              product. Removes the 257->384 lane pad (QK N, PV K).
+  qkonly      ablation: QK^T dots only (sizes the MXU share)
+  nosm        ablation: softmax skipped (sizes the VPU share)
+"""
+
+import functools
+import sys
+
+from _harness import setup, sync, chain, interleave
+
+setup()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from plip_tpu.ops.attention import (
+    _pallas_mha,
+    _pallas_mha_headgrid,
+    _pallas_flash_mha,
+)
+
+B, S, HEADS, D = 128, 257, 16, 64
+W = HEADS * D
+ITERS = 20
+
+
+# --- split-256 kernel -------------------------------------------------------
+
+
+def _split_kernel(qkv_ref, o_ref, *, heads, head_dim, block_b, s_main):
+    """Per-batch-row core with the KV axis split at ``s_main`` (a multiple of
+    128): the main logits dot is lane-exact [S, s_main]; the tail (S - s_main
+    rows, here 1) contributes one extra logits column computed by a small dot
+    and an outer-product PV update. Exact same math as the padded whole-row
+    softmax."""
+    Wd = heads * head_dim
+    scale = head_dim ** -0.5
+    S_ = qkv_ref.shape[1]
+    tail = S_ - s_main
+    for g in range(block_b):
+        qkv = qkv_ref[g]
+        for h in range(heads):
+            q = qkv[:, h * head_dim:(h + 1) * head_dim]
+            k = qkv[:, Wd + h * head_dim:Wd + (h + 1) * head_dim]
+            v = qkv[:, 2 * Wd + h * head_dim:2 * Wd + (h + 1) * head_dim]
+            qs = (q.astype(jnp.float32) * scale).astype(qkv.dtype)
+            la = jax.lax.dot_general(
+                qs, k[:s_main], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [S, s_main] lane-exact
+            # tail logits columns on the VPU (Mosaic rejects N<8 dots):
+            # one broadcast-multiply + lane reduce per tail row
+            q32 = qs.astype(jnp.float32)
+            lbs = [
+                jnp.sum(q32 * k[s_main + t].astype(jnp.float32)[None, :],
+                        -1, keepdims=True)
+                for t in range(tail)
+            ]  # each [S, 1]
+            m = jnp.max(la, -1, keepdims=True)
+            for lb in lbs:
+                m = jnp.maximum(m, lb)
+            pa = jnp.exp(la - m)
+            pbs = [jnp.exp(lb - m) for lb in lbs]
+            denom = jnp.sum(pa, -1, keepdims=True)
+            for pb in pbs:
+                denom = denom + pb
+            ctx = jnp.dot(pa.astype(qkv.dtype), v[:s_main],
+                          preferred_element_type=jnp.float32)
+            for t, pb in enumerate(pbs):  # rank-1 PV updates on the VPU
+                ctx = ctx + pb * v[s_main + t].astype(jnp.float32)[None, :]
+            ctx = ctx / denom
+            o_ref[g, :, h * head_dim:(h + 1) * head_dim] = ctx.astype(
+                o_ref.dtype)
+
+
+def split256(qkv, block_b=1):
+    s_main = (S // 128) * 128
+    kernel = functools.partial(_split_kernel, heads=HEADS, head_dim=D,
+                               block_b=block_b, s_main=s_main)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block_b,),
+        in_specs=[pl.BlockSpec((block_b, S, 3 * W), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block_b, S, W), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, W), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(qkv)
+
+
+# --- ablations --------------------------------------------------------------
+
+
+def _ablate_kernel(qkv_ref, o_ref, *, heads, head_dim, mode):
+    Wd = heads * head_dim
+    scale = head_dim ** -0.5
+    for h in range(heads):
+        qkv = qkv_ref[0]
+        q = qkv[:, h * head_dim:(h + 1) * head_dim]
+        k = qkv[:, Wd + h * head_dim:Wd + (h + 1) * head_dim]
+        v = qkv[:, 2 * Wd + h * head_dim:2 * Wd + (h + 1) * head_dim]
+        qs = (q.astype(jnp.float32) * scale).astype(qkv.dtype)
+        logits = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if mode == "qkonly":
+            o_ref[0, :, h * head_dim:(h + 1) * head_dim] = jnp.sum(
+                logits, -1, keepdims=True).astype(o_ref.dtype) * jnp.ones(
+                    (1, head_dim), o_ref.dtype)
+            continue
+        if mode == "nosm":
+            p = logits * 0.01
+        else:
+            m = jnp.max(logits, -1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, -1, keepdims=True)
+        ctx = jnp.dot(p.astype(qkv.dtype), v,
+                      preferred_element_type=jnp.float32)
+        o_ref[0, :, h * head_dim:(h + 1) * head_dim] = ctx.astype(o_ref.dtype)
+
+
+def ablate(qkv, mode):
+    kernel = functools.partial(_ablate_kernel, heads=HEADS, head_dim=D,
+                               mode=mode)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, S, 3 * W), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, S, W), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, W), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(qkv)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(
+        rng.standard_normal((B, S, 3 * W)).astype(np.float32) * 0.05
+    ).astype(jnp.bfloat16)
+
+    variants = {
+        "perrow": lambda x: _pallas_mha(x, HEADS, False, block_b=1),
+        "perrow_bb2": lambda x: _pallas_mha(x, HEADS, False, block_b=2),
+        "headgrid2": lambda x: _pallas_mha_headgrid(x, HEADS, False, hpp=2),
+        "headgrid4": lambda x: _pallas_mha_headgrid(x, HEADS, False, hpp=4),
+        "flash264": lambda x: _pallas_flash_mha(x, HEADS, False),
+        "split256": lambda x: split256(x, block_b=1),
+        "split256_bb2": lambda x: split256(x, block_b=2),
+        "qkonly": lambda x: ablate(x, "qkonly"),
+        "nosm": lambda x: ablate(x, "nosm"),
+    }
+    if "--quick" in sys.argv:
+        variants = {k: variants[k] for k in ("perrow", "split256")}
+
+    # parity check first (fp32-ish tolerance at bf16)
+    ref = np.asarray(_pallas_mha(qkv, HEADS, False, block_b=1),
+                     np.float32)
+    got = np.asarray(split256(qkv), np.float32)
+    err = np.abs(ref - got).max()
+    print(f"split256 parity max|diff| = {err:.2e}", flush=True)
+    assert err < 1e-2, err
+
+    runners = {}
+    for name, fn in variants.items():
+        runners[name] = (lambda f: (lambda: chain(f, ITERS)(qkv)))(fn)
+    best, _ = interleave(runners, rounds=3)
+    floor_ms = 4 * B * S * S * W * 2 / 197e12 * 1e3 / 2  # QK+PV @ bf16 peak
+    print(f"\nuseful-FLOP floor: {floor_ms:.3f} ms/call")
+    for name in variants:
+        ms = best[name] / ITERS * 1e3
+        print(f"{name:14s} {ms:7.3f} ms/call  ({ms / floor_ms:5.1f}x floor)  "
+              f"-> {24 * ms:6.1f} ms/24-layer", flush=True)
+
+
+if __name__ == "__main__":
+    main()

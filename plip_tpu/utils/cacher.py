@@ -10,6 +10,7 @@ interchange between the two stacks:
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 from typing import Optional
 
@@ -73,3 +74,32 @@ def cache_numpy_object_raw_filename(npa: np.ndarray, name: str, path: str) -> No
     save_path = get_savepath(name, path)
     with open(save_path, "wb") as f:
         np.save(f, npa)
+
+
+# -- provenance sidecars (VERDICT r3 #7) -------------------------------------
+# The .npy payload layout is the reference-interchange contract and stays
+# byte-identical; provenance (e.g. which decode_mode produced an image-
+# embedding matrix) rides in a ``<entry>.meta.json`` sidecar so an
+# approx-mode cache entry is no longer indistinguishable from an exact one.
+# Entries written by the reference stack (or by older rounds) simply have no
+# sidecar and read back as ``None`` — callers treat that as "unknown".
+
+
+def _meta_path(save_path: str) -> str:
+    return save_path + ".meta.json"
+
+
+def write_cache_meta(save_path: str, meta: dict) -> None:
+    with open(_meta_path(save_path), "w") as f:
+        json.dump(meta, f)
+
+
+def read_cache_meta(save_path: str) -> Optional[dict]:
+    p = _meta_path(save_path)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, ValueError):  # unreadable/corrupt sidecar = unknown
+        return None

@@ -66,6 +66,43 @@ def test_clip_embedder_images_normalized_and_cached(small_ckpt, cache_env, image
     np.testing.assert_allclose(out, out3, rtol=1e-5)
 
 
+def test_decode_mode_provenance(small_ckpt, cache_env, image_paths):
+    """VERDICT r3 #7: an approx-mode cache entry must not silently satisfy an
+    exact-contract request; sidecars record decode_mode provenance."""
+    from plip_tpu.api import PLIP
+    from plip_tpu.utils.cacher import get_savepath, read_cache_meta
+
+    emb = CLIPEmbedder(PLIP(small_ckpt), "plip", "backbone_v1.pt")
+    out = emb.image_embedder(image_paths, batch_size=4,
+                             decode_mode="fast_approx")
+    save_path = get_savepath("plipimg", "backbone_v1.pt")
+    assert read_cache_meta(save_path) == {"decode_mode": "fast_approx"}
+
+    # approx request hits the approx entry
+    out2 = emb.image_embedder(image_paths, batch_size=4,
+                              decode_mode="fast_approx")
+    np.testing.assert_array_equal(out, out2)
+
+    # exact-contract request refuses it: warn + recompute + overwrite sidecar
+    with pytest.warns(UserWarning, match="fast_approx"):
+        out3 = emb.image_embedder(image_paths, batch_size=4,
+                                  decode_mode="fast")
+    np.testing.assert_allclose(out, out3, rtol=1e-4)  # PNGs: same pixels
+    assert read_cache_meta(save_path) == {"decode_mode": "fast"}
+
+    # now the exact entry satisfies BOTH exact and approx requests silently
+    out4 = emb.image_embedder(image_paths, batch_size=4, decode_mode="fast")
+    np.testing.assert_array_equal(out3, out4)
+    out5 = emb.image_embedder(image_paths, batch_size=4,
+                              decode_mode="fast_approx")
+    np.testing.assert_array_equal(out3, out5)
+
+    # sidecar-less (reference-written) entries read back as unknown -> hit
+    os.remove(save_path + ".meta.json")
+    out6 = emb.image_embedder(image_paths, batch_size=4, decode_mode="fast")
+    np.testing.assert_array_equal(out3, out6)
+
+
 def test_clip_embedder_text(small_ckpt, cache_env):
     from plip_tpu.api import PLIP
 
