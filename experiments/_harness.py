@@ -79,7 +79,11 @@ def chain(fn, n_iter: int, perturb=None):
     def run(*args):
         def body(carry, _):
             if perturb is None:
-                a = (args[0] + carry * 1e-20,) + args[1:]
+                # scale in fp32, then cast to the arg's dtype: keeps the
+                # benched fn at its real dtype (bf16 + f32 carry would upcast
+                # the whole chain to f32 — measured VMEM blowups)
+                eps = (carry * 1e-20).astype(args[0].dtype)
+                a = (args[0] + eps,) + args[1:]
             else:
                 a = perturb(args, carry)
             out = fn(*a)

@@ -181,7 +181,9 @@ def main():
 
     runners = {}
     for name, fn in variants.items():
-        runners[name] = (lambda f: (lambda: chain(f, ITERS)(qkv)))(fn)
+        # build the jitted chain ONCE per variant — rebuilding it per timing
+        # call would re-trace the whole scan each round and dominate the time
+        runners[name] = (lambda r: (lambda: r(qkv)))(chain(fn, ITERS))
     best, _ = interleave(runners, rounds=3)
     floor_ms = 4 * B * S * S * W * 2 / 197e12 * 1e3 / 2  # QK+PV @ bf16 peak
     print(f"\nuseful-FLOP floor: {floor_ms:.3f} ms/call")

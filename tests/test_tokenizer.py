@@ -215,8 +215,72 @@ def test_textfix_leaves_clean_text_alone():
     from plip_tpu.tokenizer.textfix import fix_text
 
     for s in ["café", "é", "naïve œuvre", "中文病理", "plain ascii 123",
-              "àüñç é"]:
+              "àüñç é", "Привет мир", "καλημέρα", "don't \"quote\" me",
+              "20% & 30%", "a&b", "R&D dept"]:
         assert fix_text(s) == s
+
+
+def test_textfix_full_fixer_passes():
+    """Round-4 widened passes (VERDICT r3 #6): HTML entities, terminal
+    escapes, multi-codepage mojibake, C1 controls, surrogates, halfwidth
+    katakana, control-char removal."""
+    from plip_tpu.tokenizer.textfix import fix_text
+
+    cases = [
+        # html entities (semicolon-terminated; auto mode)
+        ("&amp;", "&"), ("&#65;&#x42;", "AB"), ("&lt;tag&gt;", "<tag>"),
+        # terminal escapes
+        ("\x1b[31mred\x1b[0m", "red"), ("\x1b[1;32mok\x1b[m", "ok"),
+        # mojibake through each supported codepage
+        ("schÃ¶n", "schön"),                        # 1252
+        ("Ã©lÃ¨ve", "élève"),                       # 1252
+        ("√©l√®ve", "élève"),                       # macroman
+        ("Ð¿Ñ€Ð¸Ð²ÐµÑ‚", "привет"),                # Cyrillic target
+        ("â€œquotedâ€\x9d", '"quoted"'),            # quotes + C1 tail byte
+        ("dÃ©jÃ\xa0 vu", "déjà vu"),                # NBSP continuation byte
+        ("ç\x97\x85ç\x90\x86", "病理"),             # CJK target, C1 bytes
+        ("schÃƒÂ¶n", "schön"),                      # double-encoded
+        # stray C1 controls -> cp1252 (ftfy fix_c1_controls)
+        ("caf\x82", "caf'"), ("x\x85y", "x…y"),
+        # surrogate pairs combine; lone surrogates -> U+FFFD
+        ("😀", "😀"), ("a\ud800b", "a�b"),
+        # width: fullwidth ASCII, ideographic space, halfwidth katakana
+        ("ＡＢ　Ｃ！", "AB C!"), ("ｶﾞｲﾄﾞ", "ガイド"), ("ﾊﾟｽ", "パス"),
+        # control chars removed (ftfy table), \t\n\f\r kept
+        ("a\x00b\x0bc\x7fd﻿e", "abcde"), ("a\tb\nc", "a\tb\nc"),
+        # line separators
+        ("a b c", "a\nb\nc"),
+    ]
+    for src, want in cases:
+        assert fix_text(src) == want, (src, fix_text(src), want)
+
+
+def test_textfix_mojibake_fuzz_roundtrip():
+    """Fuzz: text encoded UTF-8 then mis-decoded through each supported
+    codepage must repair exactly; repaired == original."""
+    import random
+
+    from plip_tpu.tokenizer.textfix import fix_text
+
+    rng = random.Random(7)
+    words = ["schön", "élève", "naïve", "œuvre", "病理", "привет", "für",
+             "café", "niño", "señor", "über", "αίμα", "ткань"]
+    codecs_ = ["cp1252", "latin-1", "cp1251", "mac_roman", "cp437"]
+    checked = 0
+    for _ in range(300):
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(1, 4)))
+        enc = rng.choice(codecs_)
+        try:
+            broken = text.encode("utf-8").decode(enc)
+        except UnicodeDecodeError:
+            continue  # codepage can't even represent the bytes — skip
+        fixed = fix_text(broken)
+        import unicodedata
+
+        assert fixed == unicodedata.normalize("NFC", fix_text(text)), (
+            enc, text, broken, fixed)
+        checked += 1
+    assert checked > 150  # the fuzz actually exercised repairs
 
 
 def test_fuzz_matches_hf(tokenizer, tmp_path):
