@@ -139,10 +139,15 @@ def main():
         return
 
     on_cpu = jax.default_backend() == "cpu"
-    # 256 is the flat-kernel sweet spot on v5e: 15,020 img/s vs 14,705 at
-    # 512, 14,842 at 1024, 14,135 at 128, 14,685 at 384 (PERF.md round 2)
+    # Measured per-arch batch optima on v5e: 256 is the B-width flat-kernel
+    # sweet spot (15,020 img/s vs 14,705 at 512, 14,135 at 128 — PERF.md r2);
+    # L/14 peaks at 64 (844 img/s vs 769 at 128, r4 sweep in
+    # experiments/bench_l14_encode_sweep.py); 336px at 32.
+    arch_default = {"vit_l14": 64, "vit_l14_336": 32}
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else (
-        16 if on_cpu else 256
+        16 if on_cpu else arch_default.get(
+            (sys.argv[sys.argv.index("--arch") + 1]
+             if "--arch" in sys.argv else "vit_b32"), 256)
     )
     iters = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else (
         2 if on_cpu else 30

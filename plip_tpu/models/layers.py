@@ -139,6 +139,13 @@ def block(
 # where it fits (its hand-written bwd kernel wins at L/14 too).
 _FLAT_FWD_ONLY_MAX_W = 768
 
+# Layer-scan unroll factor (trace-time experiment knob, VERDICT r3 #2): the
+# VJP of an unrolled scan is an unrolled scan, so unroll=k puts k layers'
+# backward in one XLA block — letting layer l's dW matmuls overlap layer
+# l+1's attn-bwd Pallas kernel across the old iteration boundary
+# (experiments/bench_b32_sched.py measures {fused, dwsplit} x {1, 2}).
+_SCAN_UNROLL = 1
+
 
 def transformer(
     x: jnp.ndarray,
@@ -266,7 +273,8 @@ def transformer(
 
         if remat is True:
             body = jax.checkpoint(body)
-        out, _ = jax.lax.scan(body, _flatten(x), stacked)
+        out, _ = jax.lax.scan(body, _flatten(x), stacked,
+                              unroll=_SCAN_UNROLL)
         return _unflatten(out)
 
     def body(h, layer_params):
@@ -275,7 +283,7 @@ def transformer(
 
     if remat is True:
         body = jax.checkpoint(body)
-    x, _ = jax.lax.scan(body, x, stacked)
+    x, _ = jax.lax.scan(body, x, stacked, unroll=_SCAN_UNROLL)
     return x
 
 

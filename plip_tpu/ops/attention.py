@@ -35,28 +35,62 @@ except ImportError:  # pragma: no cover
 
 def _mha_kernel(qkv_ref, out_ref, *, heads: int, head_dim: int, causal: bool,
                 block_b: int, s_valid: "int | None" = None):
+    """Per-batch-row attention core. Two head-loop schedules:
+
+    - S <= 128 (B/32 vision, text): the straight per-head chain — measured
+      optimal there, with the bit-exact normalize-first softmax (the
+      deferred divide was ~1.5% slower end-to-end at B/32, PERF.md r2).
+    - S > 128 (ViT-L/14's 257): SOFTWARE-PIPELINED — head h+1's QK^T dot is
+      issued before head h's softmax/PV so Mosaic overlaps MXU dots with the
+      VPU softmax (the serialized chain measured as their SUM, ~1.13
+      ms/call at b128 vs ~0.68 pipelined), and the softmax divide is
+      deferred past the PV dot (one [S, D] fp32 divide instead of [S, S]).
+      Measured together: -13% core time at S=257; the reorder WITHOUT the
+      deferred divide was negative (experiments/bench_l14_pipe.py, r4).
+      fp-reassociation only — parity within bf16 tolerance."""
     W = heads * head_dim
     scale = head_dim ** -0.5
     S = qkv_ref.shape[1]
-    for g in range(block_b):
+    masked = causal or (s_valid is not None and s_valid < S)
+    mask = _row_mask(S, causal, s_valid) if masked else None
+
+    def qk(g, h):
         qkv = qkv_ref[g]  # [S, 3W]
-        for h in range(heads):
-            q = qkv[:, h * head_dim:(h + 1) * head_dim].astype(jnp.float32) * scale
-            k = qkv[:, W + h * head_dim:W + (h + 1) * head_dim]
-            v = qkv[:, 2 * W + h * head_dim:2 * W + (h + 1) * head_dim]
-            logits = jax.lax.dot_general(
-                q.astype(qkv.dtype), k,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [S, S]
-            if causal or (s_valid is not None and s_valid < S):
-                logits = jnp.where(_row_mask(S, causal, s_valid), logits,
-                                   -jnp.inf)
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
+        q = qkv[:, h * head_dim:(h + 1) * head_dim].astype(jnp.float32) * scale
+        k = qkv[:, W + h * head_dim:W + (h + 1) * head_dim]
+        logits = jax.lax.dot_general(
+            q.astype(qkv.dtype), k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, S]
+        return jnp.where(mask, logits, -jnp.inf) if masked else logits
+
+    def sm_pv(g, h, logits, defer: bool):
+        qkv = qkv_ref[g]
+        v = qkv[:, 2 * W + h * head_dim:2 * W + (h + 1) * head_dim]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        if defer:
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            ctx = jnp.dot(p.astype(qkv.dtype), v,
+                          preferred_element_type=jnp.float32) / denom
+        else:
             p = p / jnp.sum(p, axis=-1, keepdims=True)
-            ctx = jnp.dot(p.astype(qkv.dtype), v, preferred_element_type=jnp.float32)
-            out_ref[g, :, h * head_dim:(h + 1) * head_dim] = ctx.astype(out_ref.dtype)
+            ctx = jnp.dot(p.astype(qkv.dtype), v,
+                          preferred_element_type=jnp.float32)
+        out_ref[g, :, h * head_dim:(h + 1) * head_dim] = ctx.astype(
+            out_ref.dtype)
+
+    chain = [(g, h) for g in range(block_b) for h in range(heads)]
+    if S > 128:
+        logits = qk(*chain[0])
+        for i, (g, h) in enumerate(chain):
+            logits_next = qk(*chain[i + 1]) if i + 1 < len(chain) else None
+            sm_pv(g, h, logits, defer=True)
+            logits = logits_next
+    else:
+        for g, h in chain:
+            sm_pv(g, h, qk(g, h), defer=False)
 
 
 def _pallas_mha(qkv: jnp.ndarray, heads: int, causal: bool,
