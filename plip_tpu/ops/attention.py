@@ -638,31 +638,56 @@ def _attn_sublayer_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     # chunk size is bit-identical to the per-row formulation.
     Mc = M if core_chunk is None else core_chunk * S
     mask = _blockdiag_mask(Mc, S, causal, s_valid)
-    ctx_rows = []
-    for rb in range(M // Mc):
+    pipeline = _pipe_fwd(S)
+    chain_ix = [(rb, h) for rb in range(M // Mc) for h in range(heads)]
+
+    def qk(rb, h):
         sl = slice(rb * Mc, (rb + 1) * Mc)
-        cols = []
-        for h in range(heads):
-            q = qkv[sl, h * D:(h + 1) * D]
-            k = qkv[sl, W + h * D:W + (h + 1) * D]
-            v = qkv[sl, 2 * W + h * D:2 * W + (h + 1) * D]
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            logits = jnp.where(mask, logits, -jnp.inf)
-            m = jnp.max(logits, -1, keepdims=True)
-            p = jnp.exp(logits - m)
-            # NOTE deferring this divide past the PV dot (ctx = (exp@V)*inv)
-            # measured FASTER isolated (17.2 vs 17.9 ms/stack) but ~1.5%
-            # SLOWER end-to-end encode (14.5k vs 14.7k img/s) — kept as the
-            # exact normalize-first form.
-            p = p / jnp.sum(p, -1, keepdims=True)
-            cols.append(
+        q = qkv[sl, h * D:(h + 1) * D]
+        k = qkv[sl, W + h * D:W + (h + 1) * D]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        return jnp.where(mask, logits, -jnp.inf)
+
+    cols = {}
+
+    def consume(rb, h, logits):
+        sl = slice(rb * Mc, (rb + 1) * Mc)
+        v = qkv[sl, 2 * W + h * D:2 * W + (h + 1) * D]
+        m = jnp.max(logits, -1, keepdims=True)
+        p = jnp.exp(logits - m)
+        if pipeline:
+            # deferred divide: one [Mc, D] fp32 divide after the PV dot.
+            # Round-2 measured defer-alone ~1.5% SLOWER end-to-end at B/32;
+            # paired with the explicit pipelining it wins (PERF.md r4) —
+            # the pairing is required, do not split them.
+            denom = jnp.sum(p, -1, keepdims=True)
+            cols[rb, h] = (
                 jnp.dot(p.astype(xb.dtype), v,
-                        preferred_element_type=jnp.float32).astype(xb.dtype)
-            )
-        ctx_rows.append(jnp.concatenate(cols, axis=-1))  # [Mc, W]
+                        preferred_element_type=jnp.float32) / denom
+            ).astype(xb.dtype)
+        else:
+            # bit-exact normalize-first form (matches the composed oracle)
+            p = p / jnp.sum(p, -1, keepdims=True)
+            cols[rb, h] = jnp.dot(
+                p.astype(xb.dtype), v, preferred_element_type=jnp.float32
+            ).astype(xb.dtype)
+
+    if pipeline:  # issue chain i+1's QK dot before chain i's softmax/PV
+        logits = qk(*chain_ix[0])
+        for i, (rb, h) in enumerate(chain_ix):
+            logits_next = qk(*chain_ix[i + 1]) if i + 1 < len(chain_ix) else None
+            consume(rb, h, logits)
+            logits = logits_next
+    else:
+        for rb, h in chain_ix:
+            consume(rb, h, qk(rb, h))
+    ctx_rows = [
+        jnp.concatenate([cols[rb, h] for h in range(heads)], axis=-1)
+        for rb in range(M // Mc)
+    ]
     ctx = ctx_rows[0] if len(ctx_rows) == 1 else jnp.concatenate(ctx_rows, 0)
     y = (
         jnp.dot(ctx, wout_ref[:], preferred_element_type=jnp.float32)
@@ -807,6 +832,143 @@ def attention_sublayer(x, ln_p, attn_p, heads: int, causal: bool = False,
     return _jnp_attn_sublayer(x, ln_p, attn_p, heads, causal, eps)
 
 
+def _core_fwd_bwd_block(qkv_b, dctx_b, mask, *, heads: int, D: int, W: int,
+                        dtype, pipeline: bool):
+    """Attention-core forward recompute + backward for one flat token block
+    of the sublayer backward kernels (shared by the fused and dW-split
+    variants — their bodies were identical).
+
+    pipeline=False: the round-2 bit-exact schedule (normalize-first softmax,
+    heads fully serialized).
+
+    pipeline=True (the S > 128 default, mirroring the forward `_mha_kernel`
+    gate): head h+1's logits recompute dot is issued before head h's VPU
+    work, and every softmax divide is algebraically deferred out of the
+    [M, M] intermediates into [M, D]/[M, 1] operands:
+
+        e = exp(l - m);  denom = rowsum(e)          (P = e/denom)
+        ctx = (e V)/denom
+        dV  = eᵀ (g/denom)
+        dsum_u = rowsum(dP ∘ e);  ds_u = e ∘ (dP − dsum_u/denom)
+        dQ = (ds_u K)·scale/denom;   dK = ds_uᵀ (Q/denom)·scale
+
+    Exact reassociation of the same math (measured r4: the serialized chain
+    ran at MXU+VPU SUM; see bench_l14_pipe.py / PERF.md round 4)."""
+    scale = D ** -0.5
+    M = qkv_b.shape[0]
+
+    def qk(h):
+        q = qkv_b[:, h * D:(h + 1) * D]
+        k = qkv_b[:, W + h * D:W + (h + 1) * D]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        return jnp.where(mask, logits, -jnp.inf)
+
+    ctx_cols = [None] * heads
+    dq_cols = [None] * heads
+    dk_cols = [None] * heads
+    dv_cols = [None] * heads
+
+    def consume(h, logits):
+        q = qkv_b[:, h * D:(h + 1) * D]
+        k = qkv_b[:, W + h * D:W + (h + 1) * D]
+        v = qkv_b[:, 2 * W + h * D:2 * W + (h + 1) * D]
+        gh = dctx_b[:, h * D:(h + 1) * D]
+        m = jnp.max(logits, -1, keepdims=True)
+        e = jnp.exp(logits - m)
+        if pipeline:
+            denom = jnp.sum(e, -1, keepdims=True)
+            e_c = e.astype(dtype)
+            ctx_cols[h] = (
+                jnp.dot(e_c, v, preferred_element_type=jnp.float32) / denom
+            ).astype(dtype)
+            ghn = (gh.astype(jnp.float32) / denom).astype(dtype)
+            dv = jax.lax.dot_general(
+                e_c, ghn, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                gh, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dsum_u = jnp.sum(dp * e, axis=-1, keepdims=True)
+            ds_u = (e * (dp - dsum_u / denom)).astype(dtype)
+            dq_cols[h] = (
+                (jnp.dot(ds_u, k, preferred_element_type=jnp.float32)
+                 * scale) / denom).astype(dtype)
+            qn = (q.astype(jnp.float32) / denom).astype(dtype)
+            dk_cols[h] = (
+                jax.lax.dot_general(
+                    ds_u, qn, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale).astype(dtype)
+            dv_cols[h] = dv.astype(dtype)
+        else:
+            p = e / jnp.sum(e, -1, keepdims=True)  # fp32
+            ctx_cols[h] = (
+                jnp.dot(p.astype(dtype), v,
+                        preferred_element_type=jnp.float32).astype(dtype)
+            )
+            p_c = p.astype(dtype)
+            dv = jax.lax.dot_general(
+                p_c, gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                gh, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = (p * (dp - dsum)).astype(dtype)  # zero where masked
+            dq_cols[h] = (
+                jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                * scale).astype(dtype)
+            dk_cols[h] = (
+                jax.lax.dot_general(
+                    ds, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale).astype(dtype)
+            dv_cols[h] = dv.astype(dtype)
+
+    if pipeline:
+        logits = qk(0)
+        for h in range(heads):
+            logits_next = qk(h + 1) if h + 1 < heads else None
+            consume(h, logits)
+            logits = logits_next
+    else:
+        for h in range(heads):
+            consume(h, qk(h))
+    return (jnp.concatenate(ctx_cols, axis=-1),
+            jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1))
+
+
+# Trace-time overrides for the core schedules (None = auto: pipelined +
+# deferred divides when S > 128; True/False force) — A/B harnesses:
+# experiments/bench_bwd_pipe.py, bench_fwd_pipe.py.
+_PIPE_BWD_OVERRIDE: "bool | None" = None
+_PIPE_FWD_OVERRIDE: "bool | None" = None
+
+
+def _pipe_bwd(S: int) -> bool:
+    """Pipelined + deferred-divide backward core: ON everywhere. S > 128 is
+    where it pays (L/14); at S <= 128 it measured a small consistent win too
+    (B/32 b512 train 230.8 -> 229.5 ms, 3/3 interleaved rounds,
+    experiments/bench_bwd_pipe.py r4)."""
+    if _PIPE_BWD_OVERRIDE is not None:
+        return bool(_PIPE_BWD_OVERRIDE)
+    return True
+
+
+def _pipe_fwd(S: int) -> bool:
+    """Pipelined + deferred-divide schedule for the flat FWD sublayer core.
+    S > 128 rows (B/16's 200, L/14's 264 when flat) get it by default; the
+    short-S towers keep the round-2 bit-exact schedule until measured."""
+    if _PIPE_FWD_OVERRIDE is not None:
+        return bool(_PIPE_FWD_OVERRIDE)
+    return S > 128
+
+
 def _attn_sublayer_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
                               bqkv_ref, wout_ref, dx_ref, dlns_ref, dlnb_ref,
                               dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref, *,
@@ -872,57 +1034,17 @@ def _attn_sublayer_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
         gyb, wout_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(xb.dtype)
-    def core_bwd(qkv_b, dctx_b, mask):
-        """fwd-recompute + softmax/PV backward for one token block (whole
-        [M] block-diagonally, or one [S] row of the row-blocked core)."""
-        ctx_cols, dq_cols, dk_cols, dv_cols = [], [], [], []
-        for h in range(heads):
-            q = qkv_b[:, h * D:(h + 1) * D]
-            k = qkv_b[:, W + h * D:W + (h + 1) * D]
-            v = qkv_b[:, 2 * W + h * D:2 * W + (h + 1) * D]
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            logits = jnp.where(mask, logits, -jnp.inf)
-            m = jnp.max(logits, -1, keepdims=True)
-            p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, -1, keepdims=True)  # fp32
-            ctx_cols.append(
-                jnp.dot(p.astype(xb.dtype), v,
-                        preferred_element_type=jnp.float32).astype(xb.dtype)
-            )
-            gh = dctx_b[:, h * D:(h + 1) * D]
-            p_c = p.astype(xb.dtype)
-            dv = jax.lax.dot_general(
-                p_c, gh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dp = jax.lax.dot_general(
-                gh, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
-            ds = (p * (dp - dsum)).astype(xb.dtype)  # zero where masked
-            dq_cols.append(
-                (jnp.dot(ds, k, preferred_element_type=jnp.float32)
-                 * scale).astype(xb.dtype))
-            dk_cols.append(
-                (jax.lax.dot_general(
-                    ds, q, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * scale).astype(xb.dtype))
-            dv_cols.append(dv.astype(xb.dtype))
-        return (jnp.concatenate(ctx_cols, axis=-1),
-                jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1))
-
-    # chunked core — see _attn_sublayer_kernel / _core_chunk
+    # chunked core — see _attn_sublayer_kernel / _core_chunk; fwd-recompute
+    # + softmax/PV backward per token block via the shared core
+    # (_core_fwd_bwd_block — pipelined schedule when S > 128)
     Mc = M if core_chunk is None else core_chunk * S
     mask = _blockdiag_mask(Mc, S, causal, s_valid)
     ctx_rows, dqkv_rows = [], []
     for rb in range(M // Mc):
         sl = slice(rb * Mc, (rb + 1) * Mc)
-        c_rb, d_rb = core_bwd(qkv[sl], dctx[sl], mask)
+        c_rb, d_rb = _core_fwd_bwd_block(
+            qkv[sl], dctx[sl], mask, heads=heads, D=D, W=W, dtype=xb.dtype,
+            pipeline=_pipe_bwd(S))
         ctx_rows.append(c_rb)
         dqkv_rows.append(d_rb)
     ctx = ctx_rows[0] if len(ctx_rows) == 1 else jnp.concatenate(ctx_rows, 0)
@@ -1005,52 +1127,16 @@ def _attn_sublayer_bwd_split_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
         preferred_element_type=jnp.float32,
     ).astype(xb.dtype)
 
-    def core_bwd(qkv_b, dctx_b, mask):
-        ctx_cols, dq_cols, dk_cols, dv_cols = [], [], [], []
-        for h in range(heads):
-            q = qkv_b[:, h * D:(h + 1) * D]
-            k = qkv_b[:, W + h * D:W + (h + 1) * D]
-            v = qkv_b[:, 2 * W + h * D:2 * W + (h + 1) * D]
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            logits = jnp.where(mask, logits, -jnp.inf)
-            m = jnp.max(logits, -1, keepdims=True)
-            p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, -1, keepdims=True)
-            ctx_cols.append(
-                jnp.dot(p.astype(xb.dtype), v,
-                        preferred_element_type=jnp.float32).astype(xb.dtype))
-            gh = dctx_b[:, h * D:(h + 1) * D]
-            p_c = p.astype(xb.dtype)
-            dv = jax.lax.dot_general(
-                p_c, gh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(
-                gh, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
-            ds = (p * (dp - dsum)).astype(xb.dtype)
-            dq_cols.append(
-                (jnp.dot(ds, k, preferred_element_type=jnp.float32)
-                 * scale).astype(xb.dtype))
-            dk_cols.append(
-                (jax.lax.dot_general(
-                    ds, q, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * scale).astype(xb.dtype))
-            dv_cols.append(dv.astype(xb.dtype))
-        return (jnp.concatenate(ctx_cols, axis=-1),
-                jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1))
-
-    # chunked core — see _attn_sublayer_kernel / _core_chunk
+    # chunked core — see _attn_sublayer_kernel / _core_chunk; shared core
+    # with the pipelined S > 128 schedule (_core_fwd_bwd_block)
     Mc = M if core_chunk is None else core_chunk * S
     mask = _blockdiag_mask(Mc, S, causal, s_valid)
     ctx_rows, dqkv_rows = [], []
     for rb in range(M // Mc):
         sl = slice(rb * Mc, (rb + 1) * Mc)
-        c_rb, d_rb = core_bwd(qkv[sl], dctx[sl], mask)
+        c_rb, d_rb = _core_fwd_bwd_block(
+            qkv[sl], dctx[sl], mask, heads=heads, D=D, W=W, dtype=xb.dtype,
+            pipeline=_pipe_bwd(S))
         ctx_rows.append(c_rb)
         dqkv_rows.append(d_rb)
     ctx = ctx_rows[0] if len(ctx_rows) == 1 else jnp.concatenate(ctx_rows, 0)

@@ -212,6 +212,74 @@ def test_hybrid_composed_train_fwd_matches_kernel():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_pipe_fwd_override_parity(causal):
+    """Pipelined + deferred-divide flat fwd core (the S > 128 default) is an
+    fp-reassociation of the round-2 schedule: parity within fp32 tolerance,
+    including PAD-column masking (s_valid)."""
+    B, S, W, heads = 4, 16, 64, 2
+    x, ln_p, attn_p, _ = _mk(B, S, W, heads, causal, seed=17)
+    A._PIPE_FWD_OVERRIDE = False
+    try:
+        base = A._pallas_attn_sublayer_flat(
+            x, ln_p, attn_p, S, heads, causal, 1e-5, block_b=4,
+            interpret=True, s_valid=13)
+    finally:
+        A._PIPE_FWD_OVERRIDE = None
+    A._PIPE_FWD_OVERRIDE = True
+    try:
+        pipe = A._pallas_attn_sublayer_flat(
+            x, ln_p, attn_p, S, heads, causal, 1e-5, block_b=4,
+            interpret=True, s_valid=13)
+    finally:
+        A._PIPE_FWD_OVERRIDE = None
+    np.testing.assert_allclose(np.asarray(base), np.asarray(pipe),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_pipe_bwd_override_parity(causal):
+    """Pipelined backward core (shipped default) vs the round-2 schedule:
+    grads agree to fp32-reassociation tolerance on both hand-written
+    backwards (fused and dW-split)."""
+    B, S, W, heads = 4, 24, 128, 2
+    x, ln_p, attn_p, g = _mk(B, S, W, heads, causal, seed=19)
+    out = {}
+    for pipe in (False, True):
+        A._PIPE_BWD_OVERRIDE = pipe
+        try:
+            out[pipe] = (
+                A._pallas_attn_sublayer_bwd_flat(
+                    x, g, ln_p, attn_p, S, heads, causal, 1e-5, block_b=2,
+                    interpret=True),
+                A._pallas_attn_sublayer_bwd_split(
+                    x, g, ln_p, attn_p, S, heads, causal, 1e-5, block_b=2,
+                    interpret=True),
+            )
+        finally:
+            A._PIPE_BWD_OVERRIDE = None
+    _assert_grads_close(out[True][0], out[False][0])
+    _assert_grads_close(out[True][1], out[False][1])
+    # and the pipelined default still matches the composed oracle
+    _, dx_w, dlp_w, dap_w = _oracle(x, ln_p, attn_p, g, S, heads, causal)
+    _assert_grads_close(out[True][0], (dx_w, dlp_w, dap_w))
+
+
+def test_mha_pipelined_branch_parity():
+    """_mha_kernel's S > 128 software-pipelined branch (ViT-L/14 encode path)
+    matches the jnp reference — the branch is shape-gated, so drive it with
+    an actual S = 136 geometry."""
+    B, S, H, D = 2, 136, 2, 8
+    rng = np.random.default_rng(23)
+    qkv = jnp.asarray(
+        rng.standard_normal((B, S, 3 * H * D)).astype(np.float32))
+    ref = A._jnp_mha(qkv, H, False, s_valid=130)
+    out = A._pallas_mha(qkv, H, False, interpret=True, s_valid=130)
+    np.testing.assert_allclose(np.asarray(out)[:, :130],
+                               np.asarray(ref)[:, :130],
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_train_fwd_composed_policy():
     assert A._train_fwd_composed(1024, 264) is True
     assert A._train_fwd_composed(768, 200) is False   # B/16: flat fwd wins
