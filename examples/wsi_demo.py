@@ -1,8 +1,18 @@
-"""Streaming WSI embedding demo: tile a (synthetic) slide, filter background,
-stream tiles through the encoder, and report per-tile zero-shot calls."""
+"""Streaming WSI demo: tile a (synthetic) slide, filter background, stream
+tiles through the encoder, make per-tile zero-shot calls, then run text->tile
+retrieval over the slide's own tile index (the full WSI pipeline:
+data/wsi.py tiler -> encoder -> ops/retrieval.py streaming top-k).
+
+``--bench`` scales the slide up (~35x more tiles) and prints end-to-end
+timings (tiles/s through embed_wsi; ms per retrieval query batch). NOTE on
+tunneled rigs (CLAUDE.md): embed_wsi e2e is host/H2D-bound there, and one
+retrieval call is pinned at the tunnel RTT — the numbers measure the rig,
+not the kernels (see PERF.md's RTT-free retrieval table for those).
+"""
 
 import os
 import sys
+import time
 import warnings
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -10,11 +20,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
+def make_slide(scale: int = 1) -> np.ndarray:
     rng = np.random.default_rng(0)
-    # synthetic 1568x2016 "slide": tissue blob on white background
-    slide = np.full((1568, 2016, 3), 245, np.uint8)
-    slide[300:1200, 400:1600] = rng.integers(60, 180, (900, 1200, 3), np.uint8)
+    # synthetic "slide": tissue blob on white background
+    slide = np.full((1568 * scale, 2016 * scale, 3), 245, np.uint8)
+    slide[300 * scale:1200 * scale, 400 * scale:1600 * scale] = rng.integers(
+        60, 180, (900 * scale, 1200 * scale, 3), np.uint8)
+    return slide
+
+
+def main():
+    bench = "--bench" in sys.argv
+    slide = make_slide(scale=6 if bench else 1)
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -24,12 +41,15 @@ def main():
 
     from plip_tpu.data.wsi import embed_wsi
 
+    t0 = time.perf_counter()
     emb, coords = embed_wsi(
-        model, slide, batch_size=16, tile=224, overlap=0.0,
+        model, slide, batch_size=64 if bench else 16, tile=224, overlap=0.0,
         non_bg_threshold=0.5,
     )
+    dt = time.perf_counter() - t0
     print(f"slide {slide.shape[:2]} -> {len(emb)} tissue tiles embedded "
-          f"(background filtered)")
+          f"(background filtered) in {dt:.2f}s ({len(emb) / dt:.0f} tiles/s "
+          f"e2e incl. tiling+transfer)")
 
     prompts = ["an H&E image of tumor", "an H&E image of normal tissue"]
     txt = model.encode_text(prompts, batch_size=2)
@@ -39,6 +59,26 @@ def main():
     for (y, x), c in list(zip(coords, calls))[:5]:
         print(f"tile at (y={y}, x={x}): {prompts[c]}")
     print(f"... tumor-called fraction: {np.mean(calls == 0):.2f}")
+
+    # text->tile retrieval over the slide's own index: which tiles best
+    # match each prompt. Device streaming top-k (forced — the auto gate
+    # would pick host at this N; same indices either way).
+    model.image_vectors = emb
+    k = min(5, len(emb))
+    backend = "device" if bench else "auto"
+    top = model.retrieval(prompts, top_k=k, backend=backend)
+    if bench:
+        t0 = time.perf_counter()
+        for _ in range(5):
+            top = model.retrieval(prompts, top_k=k, backend="device")
+        dt = (time.perf_counter() - t0) / 5
+        print(f"retrieval (device streaming top-k, N={len(emb)}, "
+              f"Q={len(prompts)}): {dt * 1e3:.1f} ms/call one-shot "
+              f"(tunnel-RTT-bound on this rig)")
+    for qi, prompt in enumerate(prompts):
+        ys, xs = zip(*(coords[i] for i in top[qi]))
+        print(f"top-{k} tiles for {prompt!r}: "
+              + ", ".join(f"(y={y},x={x})" for y, x in zip(ys, xs)))
 
 
 if __name__ == "__main__":

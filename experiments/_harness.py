@@ -20,6 +20,7 @@ Usage (see bench_retrieval.py / bench_l14_flash2.py for worked examples)::
     best = interleave(runners, rounds=3)      # {"a": seconds, ...}
 """
 
+import functools
 import os
 import sys
 import time
@@ -105,7 +106,7 @@ def chain_train(step, n_iter: int):
     """
     import jax
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def run(state, *batch):
         def body(_, s):
             s2, _ = step(s, *batch)

@@ -57,6 +57,7 @@ class CLIPTuner:
         seed: int = 0,
         aug_cfg: Optional[AugmentConfig] = None,
         remat="auto",
+        accum_steps: int = 1,
     ):
         import logging as _logging
 
@@ -71,6 +72,9 @@ class CLIPTuner:
         # for large-batch TPU runs — fastest fitting policy on v5e
         # (1,998 pairs/s at b512 vs 1,832 full remat, PERF.md round 2).
         self.remat = remat
+        # gradient-exact two-pass InfoNCE accumulation (contrastive.py):
+        # fit batches beyond single-pass memory without changing the update
+        self.accum_steps = accum_steps
 
         if backbone:
             from ..utils.checkpoint import load_checkpoint, load_torch_checkpoint
@@ -172,7 +176,8 @@ class CLIPTuner:
             self.state = init_train_state(params, opt)
         remat = ("mlp" if batch_size >= 64 else False) \
             if self.remat == "auto" else self.remat
-        step_fn = make_train_step(cfg, opt, dtype=self.dtype, remat=remat)
+        step_fn = make_train_step(cfg, opt, dtype=self.dtype, remat=remat,
+                                  accum_steps=self.accum_steps)
         self._eval_loss = jax.jit(
             lambda p, px, ids: clip_loss(p, px, ids, cfg, self.dtype)
         )

@@ -63,6 +63,97 @@ def clip_loss(
     return loss, {"loss": loss, "acc_i2t": acc}
 
 
+def _accum_infonce_grads(
+    params: Params,
+    pixels: jnp.ndarray,
+    ids: jnp.ndarray,
+    cfg: CLIPConfig,
+    dtype,
+    remat: "bool | str",
+    accum_steps: int,
+) -> Tuple[Tuple[jnp.ndarray, Dict[str, jnp.ndarray]], Params]:
+    """GRADIENT-EXACT InfoNCE accumulation over ``accum_steps`` microbatches.
+
+    Naive per-microbatch accumulation is WRONG for contrastive loss — the
+    B×B similarity couples every pair, so k independent InfoNCE losses over
+    B/k-sized batches optimize a different (easier) objective. This is the
+    two-pass scheme (the contract behind OpenCLIP's ``--accum-freq``, built
+    here as an exact chain rule instead of a stop-grad resubstitution):
+
+    1. embed the FULL batch microbatch-by-microbatch under ``lax.scan``
+       (no activation liveness beyond one microbatch);
+    2. differentiate the cheap loss-on-embeddings once: dL/dZ [B, D] and the
+       complete logit-scale gradient;
+    3. re-embed each microbatch under ``jax.vjp`` and pull its dZ slice back
+       to parameter space, accumulating grads in fp32 via the scan carry.
+
+    ``dL/dθ = Σ_m (∂Z_m/∂θ)ᵀ (∂L/∂Z_m)`` — identical (up to fp reassociation
+    and one extra forward's rounding) to the unaccumulated global-batch
+    gradient, at ~1.33× its FLOPs (one extra forward on a fwd+bwd ≈ 3-fwd
+    step; measured 1.22× step time at B/32 b512 — PERF.md) and 1/k its
+    activation memory. Peak-memory lever for batches the single-step path
+    can't fit (e.g. L/14 beyond b96; CLAUDE.md perf facts).
+    """
+    B = pixels.shape[0]
+    k = int(accum_steps)
+    if B % k:
+        raise ValueError(f"batch {B} not divisible by accum_steps {k}")
+    mb = B // k
+    r_img, r_txt = remat if isinstance(remat, tuple) else (remat, remat)
+
+    px = pixels.reshape(k, mb, *pixels.shape[1:])
+    tx = ids.reshape(k, mb, ids.shape[1])
+
+    def embed_mb(p, px_m, tx_m):
+        zi = jclip.l2_normalize(jclip.encode_image(p, px_m, cfg, dtype, r_img))
+        zt = jclip.l2_normalize(jclip.encode_text(p, tx_m, cfg, dtype, r_txt))
+        return zi, zt
+
+    # pass 1: full-batch embeddings (constants w.r.t. params here)
+    def p1(_, xs):
+        return None, embed_mb(params, xs[0], xs[1])
+
+    _, (zi, zt) = jax.lax.scan(p1, None, (px, tx))
+    zi = jax.lax.stop_gradient(zi.reshape(B, -1))
+    zt = jax.lax.stop_gradient(zt.reshape(B, -1))
+
+    # the loss on embeddings — same islands as models.clip.forward + clip_loss
+    def loss_from_embeds(args):
+        zi_, zt_, ls = args
+        scale = jnp.exp(jnp.clip(ls, max=cfg.logit_scale_max)).astype(jnp.float32)
+        logits_i = scale * zi_ @ zt_.T
+        labels = jnp.arange(B)
+        loss_i = optax.softmax_cross_entropy_with_integer_labels(logits_i, labels)
+        loss_t = optax.softmax_cross_entropy_with_integer_labels(logits_i.T, labels)
+        loss = (loss_i.mean() + loss_t.mean()) / 2.0
+        acc = (jnp.argmax(logits_i, axis=-1) == labels).mean()
+        return loss, (loss, acc)
+
+    (_, (loss, acc)), (dzi, dzt, d_ls) = jax.value_and_grad(
+        loss_from_embeds, has_aux=True
+    )((zi, zt, params["logit_scale"]))
+
+    # pass 2: per-microbatch VJP, fp32 grad accumulation in the scan carry
+    dzi = dzi.reshape(k, mb, -1)
+    dzt = dzt.reshape(k, mb, -1)
+
+    def p2(gacc, xs):
+        px_m, tx_m, dzi_m, dzt_m = xs
+        _, vjp_fn = jax.vjp(lambda p: embed_mb(p, px_m, tx_m), params)
+        (g_m,) = vjp_fn((dzi_m, dzt_m))
+        gacc = jax.tree.map(
+            lambda a, g: a + g.astype(jnp.float32), gacc, g_m
+        )
+        return gacc, None
+
+    zero = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+    grads, _ = jax.lax.scan(p2, zero, (px, tx, dzi, dzt))
+    # embed_mb never touches logit_scale; its complete grad came from the
+    # loss-on-embeddings pass
+    grads["logit_scale"] = grads["logit_scale"] + d_ls
+    return (loss, {"loss": loss, "acc_i2t": acc}), grads
+
+
 def make_optimizer(
     base_lr: float = 5e-6,
     warmup: int = 50,
@@ -220,6 +311,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     dtype=jnp.float32,
     remat: "bool | str" = False,
+    accum_steps: int = 1,
 ):
     """Build the jitted train step.
 
@@ -228,12 +320,22 @@ def make_train_step(
     follows input shardings, and XLA lays the collectives over ICI (dp
     all-gather for the B×B similarity, tp reduces in the blocks). Optimizer
     state initialized from sharded params inherits their sharding.
+
+    ``accum_steps > 1`` splits the batch into that many microbatches with
+    GRADIENT-EXACT two-pass InfoNCE accumulation (see
+    ``_accum_infonce_grads``) — same update as the single-pass step, 1/k the
+    activation memory, ~1.33× the FLOPs (measured 1.22× step time, PERF.md).
     """
 
     def step_fn(state: TrainState, pixels, ids) -> Tuple[TrainState, Dict]:
-        (loss, metrics), grads = jax.value_and_grad(clip_loss, has_aux=True)(
-            state.params, pixels, ids, cfg, dtype, remat
-        )
+        if accum_steps > 1:
+            (loss, metrics), grads = _accum_infonce_grads(
+                state.params, pixels, ids, cfg, dtype, remat, accum_steps
+            )
+        else:
+            (loss, metrics), grads = jax.value_and_grad(clip_loss, has_aux=True)(
+                state.params, pixels, ids, cfg, dtype, remat
+            )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         params = clamp_logit_scale(params, cfg)

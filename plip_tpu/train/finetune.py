@@ -224,6 +224,7 @@ class FineTuner:
         epochs: int = 5,
         evaluation_steps: int = 500,
         num_workers: int = 4,
+        accum_steps: int = 1,
     ):
         import pandas as pd
 
@@ -244,18 +245,68 @@ class FineTuner:
 
         forward = self._forward
 
+        if accum_steps > 1:
+            # per-sample CE is linear in the samples, so (unlike the
+            # contrastive loss — see contrastive._accum_infonce_grads) exact
+            # accumulation is just sum-the-grads-then-normalize: accumulate
+            # per-microbatch masked loss SUMS and their grads under lax.scan,
+            # divide once by the global valid count. BN running stats are
+            # batch-coupled, so CNN backbones are gated off.
+            if self.model_name.startswith("resnet"):
+                raise ValueError(
+                    "accum_steps > 1 is unsupported for BatchNorm backbones "
+                    "(running stats are batch-coupled); use a ViT/CLIP "
+                    "backbone or accum_steps=1"
+                )
+            if batch_size % accum_steps:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by accum_steps "
+                    f"{accum_steps}"
+                )
+
         @jax.jit
         def train_step(state: _TrainState, pixels, labels, n_valid):
-            def loss_fn(params):
-                logits, bn_stats = forward(params, pixels, True)
-                per = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
-                mask = (jnp.arange(len(labels)) < n_valid).astype(jnp.float32)
-                loss = (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
-                return loss, bn_stats
+            if accum_steps == 1:
+                def loss_fn(params):
+                    logits, bn_stats = forward(params, pixels, True)
+                    per = optax.softmax_cross_entropy_with_integer_labels(
+                        logits, labels)
+                    mask = (jnp.arange(len(labels)) < n_valid).astype(jnp.float32)
+                    loss = (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+                    return loss, bn_stats
 
-            (loss, bn_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
+                (loss, bn_stats), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+            else:
+                k, B = accum_steps, pixels.shape[0]
+                mb = B // k
+                px = pixels.reshape(k, mb, *pixels.shape[1:])
+                lb = labels.reshape(k, mb)
+                offs = jnp.arange(k) * mb
+
+                def loss_sum_fn(params, px_m, lb_m, off):
+                    logits, _ = forward(params, px_m, True)
+                    per = optax.softmax_cross_entropy_with_integer_labels(
+                        logits, lb_m)
+                    mask = (off + jnp.arange(mb) < n_valid).astype(jnp.float32)
+                    return (per * mask).sum()
+
+                def body(acc, xs):
+                    ls, g = jax.value_and_grad(loss_sum_fn)(state.params, *xs)
+                    return (
+                        acc[0] + ls,
+                        jax.tree.map(lambda a, b: a + b, acc[1], g),
+                    ), None
+
+                zero = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+                (loss_sum, grads), _ = jax.lax.scan(
+                    body, (jnp.float32(0), zero), (px, lb, offs))
+                cnt = jnp.maximum(
+                    jnp.minimum(n_valid, B).astype(jnp.float32), 1.0)
+                loss = loss_sum / cnt
+                grads = jax.tree.map(lambda g: g / cnt, grads)
+                bn_stats = None
             updates, opt_state = opt.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             if bn_stats is not None:

@@ -147,6 +147,53 @@ def test_finetuner_end_to_end(tiny_ckpt, image_label_df, model_name):
     assert perf["f1_weighted"].dtype == float
 
 
+def test_finetuner_accum_matches_single(tiny_ckpt, image_label_df):
+    """Supervised CE accumulation is exact (sum-then-normalize): identical
+    deterministic run with accum_steps=2 reports the same losses as
+    accum_steps=1 (fp32, same seed/init, unshuffled loader)."""
+    from plip_tpu.train.finetune import FineTuner
+
+    args = SimpleNamespace(
+        model_name="plip", optimizer="AdamW", PC_CLIP_ARCH="ViT-B/32"
+    )
+    losses = {}
+    for k in (1, 2):
+        ft = FineTuner(args=args, backbone=tiny_ckpt, num_classes=2,
+                       lr=1e-3, seed=0)
+        perf = ft.tuner(
+            image_label_df,
+            image_label_df.iloc[:4],
+            batch_size=4,
+            epochs=2,
+            evaluation_steps=0,
+            num_workers=2,
+            accum_steps=k,
+        )
+        losses[k] = perf["loss"].astype(float).to_numpy()
+    np.testing.assert_allclose(losses[2], losses[1], rtol=2e-5, atol=1e-6)
+
+
+def test_finetuner_accum_guards(tiny_ckpt, image_label_df):
+    from plip_tpu.train.finetune import FineTuner
+
+    ft = FineTuner(
+        args=SimpleNamespace(model_name="resnet18", optimizer="AdamW"),
+        num_classes=2, lr=1e-4,
+    )
+    with pytest.raises(ValueError, match="BatchNorm"):
+        ft.tuner(image_label_df, image_label_df.iloc[:4], batch_size=4,
+                 epochs=1, evaluation_steps=0, accum_steps=2)
+
+    ft2 = FineTuner(
+        args=SimpleNamespace(model_name="plip", optimizer="AdamW",
+                             PC_CLIP_ARCH="ViT-B/32"),
+        backbone=tiny_ckpt, num_classes=2, lr=1e-4,
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        ft2.tuner(image_label_df, image_label_df.iloc[:4], batch_size=4,
+                  epochs=1, evaluation_steps=0, accum_steps=3)
+
+
 def test_finetuner_resnet_bn_buffer_semantics(image_label_df):
     """torch-parity BN: running stats advance via EMA under training (buffer
     semantics), and the optimizer never touches them (ADVICE r1, medium).
