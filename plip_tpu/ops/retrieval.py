@@ -15,6 +15,11 @@ Multi-chip: pass ``mesh`` to shard the INDEX rows over the ``dp`` axis —
 each device streams its local shard, then the [Q, dp*k] candidates gather
 over ICI and a final top-k picks the global winners (``shard_map`` +
 ``all_gather``; XLA inserts the collective).
+
+int8: ``quantize_rows`` + ``cosine_topk_int8`` store the device index as
+per-row-scaled int8 — 4× less HBM (the scan is bandwidth-bound) and the
+dots take the MXU's int8 path; an oversampled exact host rescore restores
+the fp32 ranking (see the function docstrings for the guarantee).
 """
 
 from __future__ import annotations
@@ -133,6 +138,143 @@ def cosine_topk(
         x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
     vals, idxs = _topk_jit(q, x, k, chunk, jnp.int32(n))
     return np.asarray(idxs), np.asarray(vals)
+
+
+def quantize_rows(index_vectors, normalize: bool = True):
+    """Per-row symmetric int8 quantization of a retrieval index.
+
+    Returns ``(q_rows [N, D] int8, inv_scales [N] fp32)`` with
+    ``rows ≈ q_rows * inv_scales[:, None]``. Each row uses its own scale
+    ``127 / max|row|`` — unit-norm embedding rows have components
+    ~1/sqrt(D), so a per-row scale recovers ~4.5 bits of precision a
+    global 127 scale would waste. 4× smaller than fp32 in HBM, and the
+    streaming scan reads 4× fewer bytes (the op is bandwidth-bound).
+    """
+    x = np.asarray(index_vectors, np.float32)
+    if normalize:
+        x = x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    amax = np.maximum(np.abs(x).max(axis=-1), 1e-12)
+    scales = 127.0 / amax
+    q = np.clip(np.rint(x * scales[:, None]), -127, 127).astype(np.int8)
+    return q, (1.0 / scales).astype(np.float32)
+
+
+def _chunk_topk_scan_int8(q_i8, q_inv, chunks_i8, row_inv, k, chunk, n_valid):
+    """int8 variant of the streaming scan: [Q, chunk] dots run on the MXU's
+    int8 path (int32 accumulation), dequantized to fp32 scores by the per-
+    query and per-row inverse scales before the carry merge."""
+    Q = q_i8.shape[0]
+    init = (
+        jnp.full((Q, k), -jnp.inf, jnp.float32),
+        jnp.full((Q, k), -1, jnp.int32),
+    )
+
+    def body(carry, xs):
+        best_v, best_i = carry
+        rows, inv_s, c_idx = xs
+        idot = jnp.dot(q_i8, rows.T, preferred_element_type=jnp.int32)
+        scores = idot.astype(jnp.float32) * q_inv[:, None] * inv_s[None, :]
+        row_ids = c_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        scores = jnp.where(row_ids[None, :] < n_valid, scores, -jnp.inf)
+        cat_v = jnp.concatenate([best_v, scores], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(row_ids[None, :], scores.shape)], axis=1
+        )
+        new_v, sel = jax.lax.top_k(cat_v, k)
+        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (new_v, new_i), None
+
+    n_chunks = chunks_i8.shape[0] // chunk
+    (vals, idxs), _ = jax.lax.scan(
+        body,
+        init,
+        (
+            chunks_i8.reshape(n_chunks, chunk, chunks_i8.shape[1]),
+            row_inv.reshape(n_chunks, chunk),
+            jnp.arange(n_chunks, dtype=jnp.int32),
+        ),
+    )
+    return vals, idxs
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _topk_int8_jit(q_i8, q_inv, index_i8, row_inv, k: int, chunk: int, n_valid):
+    return _chunk_topk_scan_int8(q_i8, q_inv, index_i8, row_inv, k, chunk, n_valid)
+
+
+def cosine_topk_int8(
+    query_vectors,
+    index_i8,
+    row_inv_scales,
+    k: int = 10,
+    normalize_queries: bool = True,
+    chunk: int = 8192,
+    oversample: int = 4,
+    rescore_vectors=None,
+):
+    """Streaming top-k over an int8-quantized index (see ``quantize_rows``).
+
+    The scan ranks by quantized scores (relative error ~0.4%/component,
+    which shrinks ~sqrt(D) in the dot). With ``rescore_vectors`` (the fp32
+    rows, host-side — HBM holds only the int8 index), the top
+    ``oversample*k`` quantized candidates per query are re-scored exactly
+    on the host (O(Q·oversample·k·D), microseconds) and the final top-k is
+    the EXACT ranking whenever the true top-k survives the oversampled
+    candidate set — in practice always, unless >(oversample-1)·k corpus
+    rows sit within quantization noise (~1e-3 relative) of the k-th score.
+    Without ``rescore_vectors`` the quantized ranking is returned as-is.
+
+    ``rescore_vectors`` must be preprocessed the same way the rows passed
+    to ``quantize_rows`` were (same ``normalize``): the exact score is
+    ``normalized_query · rescore_vectors[i]`` verbatim — raw-space rows
+    reproduce the reference PLIP ranking semantics
+    (`/root/reference/plip.py:73-76`), pre-normalized rows give cosine.
+
+    Returns (indices [Q, k] int32, scores [Q, k] fp32) descending; scores
+    are exact fp32 dots when rescoring, quantized estimates otherwise.
+    """
+    q = np.asarray(query_vectors, np.float32)
+    if normalize_queries:
+        q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    n = index_i8.shape[0]
+    if n == 0:
+        return (np.zeros((q.shape[0], 0), np.int32),
+                np.zeros((q.shape[0], 0), np.float32))
+    k = min(k, n)
+    m = min(max(oversample * k, k), n) if rescore_vectors is not None else k
+
+    # per-query symmetric int8 quantization (queries are tiny; the error
+    # contribution matches the index rows')
+    q_amax = np.maximum(np.abs(q).max(axis=-1), 1e-12)
+    q_i8 = np.clip(np.rint(q * (127.0 / q_amax)[:, None]), -127, 127
+                   ).astype(np.int8)
+    q_inv = (q_amax / 127.0).astype(np.float32)
+
+    chunk = max(m, min(chunk, n))
+    n_pad = -(-n // chunk) * chunk
+    xi = jnp.asarray(index_i8)
+    ri = jnp.asarray(row_inv_scales, jnp.float32)
+    if n_pad != n:
+        xi = jnp.pad(xi, ((0, n_pad - n), (0, 0)))
+        ri = jnp.pad(ri, (0, n_pad - n))
+    vals, idxs = _topk_int8_jit(
+        jnp.asarray(q_i8), jnp.asarray(q_inv), xi, ri, m, chunk, jnp.int32(n)
+    )
+    idxs, vals = np.asarray(idxs), np.asarray(vals)
+    if rescore_vectors is None:
+        return idxs, vals
+
+    # exact host rescore of the oversampled candidates (rows used verbatim —
+    # see docstring for the normalization contract)
+    xr = np.asarray(rescore_vectors, np.float32)
+    cand = xr[np.clip(idxs, 0, n - 1)]  # [Q, m, D]; clip guards k>n pads
+    exact = np.einsum("qd,qmd->qm", q, cand).astype(np.float32)
+    exact = np.where(idxs >= 0, exact, -np.inf)
+    order = np.argsort(-exact, axis=1, kind="stable")[:, :k]
+    return (
+        np.take_along_axis(idxs, order, axis=1),
+        np.take_along_axis(exact, order, axis=1),
+    )
 
 
 def _cosine_topk_mesh(q, x, k: int, chunk: int, mesh):

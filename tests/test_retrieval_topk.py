@@ -93,3 +93,99 @@ def test_api_retrieval_bad_backend(tmp_path):
     m.build_image_index([p], batch_size=1)
     with pytest.raises(ValueError, match="unknown retrieval backend"):
         m.retrieval(["x"], top_k=1, backend="devise")
+
+
+# ---- int8 quantized index (ops.retrieval.quantize_rows / cosine_topk_int8)
+
+
+def test_quantize_rows_roundtrip_error_bound():
+    """Per-row symmetric int8: |x - q*inv| <= inv/2 = max|row|/254 per
+    component, for raw and normalized rows alike."""
+    from plip_tpu.ops.retrieval import quantize_rows
+
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((64, 48)) * rng.gamma(2.0, 2.0, (64, 1))
+         ).astype(np.float32)
+    for normalize in (False, True):
+        q8, inv = quantize_rows(x, normalize=normalize)
+        xr = x if not normalize else x / np.linalg.norm(
+            x, axis=-1, keepdims=True)
+        assert q8.dtype == np.int8 and inv.dtype == np.float32
+        err = np.abs(q8.astype(np.float32) * inv[:, None] - xr)
+        assert np.all(err <= inv[:, None] * 0.5 + 1e-7)
+
+
+def test_int8_topk_with_rescore_is_exact():
+    """Quantized scan + 4x-oversampled exact host rescore reproduces the
+    fp32 ranking AND scores on well-separated random data (raw-space
+    reference semantics: rows unnormalized, queries normalized)."""
+    from plip_tpu.ops.retrieval import cosine_topk_int8, quantize_rows
+
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((6, 64)).astype(np.float32)
+    x = (rng.standard_normal((700, 64)) * rng.gamma(2.0, 1.0, (700, 1))
+         ).astype(np.float32)
+    q8, inv = quantize_rows(x, normalize=False)
+    idx, vals = cosine_topk_int8(q, q8, inv, k=10, chunk=128,
+                                 rescore_vectors=x)
+    ref_idx, ref_vals = _host_topk(q, x, 10, normalize="queries")
+    np.testing.assert_array_equal(idx, ref_idx)
+    np.testing.assert_allclose(vals, ref_vals, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_topk_unrescored_recall():
+    """Without rescoring the quantized ranking's top-k overlaps the exact
+    top-k almost completely (it is an estimate, not a contract)."""
+    from plip_tpu.ops.retrieval import cosine_topk_int8, quantize_rows
+
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((4, 64)).astype(np.float32)
+    x = rng.standard_normal((512, 64)).astype(np.float32)
+    q8, inv = quantize_rows(x, normalize=False)
+    idx, _ = cosine_topk_int8(q, q8, inv, k=10, chunk=128)
+    ref_idx, _ = _host_topk(q, x, 10, normalize="queries")
+    recall = np.mean([
+        len(set(idx[i]) & set(ref_idx[i])) / 10 for i in range(len(q))
+    ])
+    assert recall >= 0.9, recall
+
+
+def test_int8_topk_edges():
+    """k > n clamps; n smaller than chunk pads; empty corpus -> [Q, 0]."""
+    from plip_tpu.ops.retrieval import cosine_topk_int8, quantize_rows
+
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    x = rng.standard_normal((5, 16)).astype(np.float32)
+    q8, inv = quantize_rows(x, normalize=False)
+    idx, vals = cosine_topk_int8(q, q8, inv, k=9, chunk=64,
+                                 rescore_vectors=x)
+    assert idx.shape == (2, 5)
+    ref_idx, _ = _host_topk(q, x, 5, normalize="queries")
+    np.testing.assert_array_equal(idx, ref_idx)
+    e_idx, e_vals = cosine_topk_int8(
+        q, np.zeros((0, 16), np.int8), np.zeros((0,), np.float32), k=3)
+    assert e_idx.shape == (2, 0) and e_vals.shape == (2, 0)
+
+
+def test_api_retrieval_int8_index(tmp_path):
+    """build_image_index(quantize='int8') + device backend returns the host
+    (reference-semantics) ranking via the exact rescore."""
+    from PIL import Image
+
+    from plip_tpu.api import PLIP
+
+    rng = np.random.default_rng(4)
+    paths = []
+    for i in range(8):
+        p = str(tmp_path / f"q{i}.png")
+        Image.fromarray(
+            rng.integers(0, 256, (224, 224, 3), dtype=np.uint8)).save(p)
+        paths.append(p)
+    m = PLIP("random:ViT-B/32")
+    m.build_image_index(paths, batch_size=8, quantize="int8")
+    host = m.retrieval(["tumor tissue", "benign gland"], top_k=4,
+                       backend="host")
+    dev = m.retrieval(["tumor tissue", "benign gland"], top_k=4,
+                      backend="device")
+    np.testing.assert_array_equal(np.asarray(host), np.asarray(dev))
