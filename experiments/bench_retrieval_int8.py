@@ -3,7 +3,10 @@
 The fp32 scan is HBM-bandwidth-bound (PERF.md r4 table: N=1M Q=64 in
 8.7 ms ≈ reading the 2 GB index at ~240 GB/s effective). The int8 index is
 4× smaller, so the expectation is ~2-4× on large N; this measures it, plus
-ranking parity after the exact host rescore.
+ranking parity after the exact host rescore. "int8" here is the SHIPPED
+rescoring config: the scan keeps 4×k oversampled candidates with the
+approx_max_k chunk merge (see bench_topk_merge.py for the merge ablation);
+"f32" is the default exact device path at k.
 
 Indexes are generated AND quantized on device (H2D through this rig's
 42 MB/s relay would otherwise dominate setup; quantization is a one-time
@@ -74,9 +77,12 @@ def bench(N, Q, iters, with_f32=True):
         lambda c, qv, xv: _chunk_topk_scan(qv + c * 1e-20, xv, K, CHUNK,
                                            jnp.int32(N)), iters
     ) if with_f32 else None
+    # the SHIPPED rescoring config: scan keeps 4*K oversampled candidates
+    # with the approx_max_k chunk merge (cosine_topk_int8 merge="auto")
     ji = chained(
         lambda c, qv, qi, xv, iv: _chunk_topk_scan_int8(
-            qv, qi + c * 1e-20, xv, iv, K, CHUNK, jnp.int32(N)), iters
+            qv, qi + c * 1e-20, xv, iv, 4 * K, CHUNK, jnp.int32(N),
+            merge="approx"), iters
     )
 
     if with_f32:

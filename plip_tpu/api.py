@@ -410,6 +410,12 @@ class PLIP:
         argsort's tie order is unstable); "auto" = device when an
         accelerator is present and the index is large enough for the host
         matmul to matter, else host.
+
+        If the index was built with ``build_image_index(quantize="int8")``,
+        the device backend streams the int8 copy (4× less HBM) and restores
+        the exact fp32 ranking by re-scoring 4×top_k oversampled candidates
+        against the host-side fp32 vectors (PERF.md: ranking parity 1.000,
+        4M-row indexes on one chip).
         """
         if self.image_vectors is None:
             raise RuntimeError(

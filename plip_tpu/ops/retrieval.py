@@ -32,14 +32,39 @@ import jax
 import jax.numpy as jnp
 
 
+def _merge_candidates(best_v, best_i, scores, row_ids, k: int, merge: str):
+    """Fold a chunk's [Q, chunk] scores into the running [Q, k] best.
+
+    merge="exact": one `lax.top_k` over the [Q, k+chunk] concat — the
+    sort-lowered top_k dominates the scan at Q≫1 (measured 30 ms of the
+    N=1M Q=64 k=40 stream). merge="approx": `lax.approx_max_k` reduces the
+    chunk to k candidates first (TPU-native bucketed reduction, 4.5-5.3×
+    faster end-to-end at Q=64 — experiments/bench_topk_merge.py) and only
+    the [Q, 2k] concat pays an exact top_k; per-chunk recall ~0.95+ (the
+    candidate set's measured recall@4×10 on random data is 1.000).
+    """
+    if merge == "approx":
+        cv, ci = jax.lax.approx_max_k(scores, k)
+        cand_i = jnp.take_along_axis(
+            jnp.broadcast_to(row_ids[None, :], scores.shape), ci, axis=1)
+    else:
+        cv = scores
+        cand_i = jnp.broadcast_to(row_ids[None, :], scores.shape)
+    cat_v = jnp.concatenate([best_v, cv], axis=1)
+    cat_i = jnp.concatenate([best_i, cand_i], axis=1)
+    new_v, sel = jax.lax.top_k(cat_v, k)
+    return new_v, jnp.take_along_axis(cat_i, sel, axis=1)
+
+
 def _chunk_topk_scan(queries, index, k: int, chunk: int, n_valid,
-                     vary_axis: "str | None" = None):
+                     vary_axis: "str | None" = None, merge: str = "exact"):
     """Streaming top-k over ``index`` rows (padded to a chunk multiple).
 
     queries: [Q, D]; index: [Np, D] with rows >= n_valid zero-padded
     (``n_valid`` may be traced — the mesh path passes a per-device count).
     ``vary_axis``: inside shard_map, the mesh axis this stream varies over —
     the scan carry must be marked varying on it or the carry types mismatch.
+    ``merge``: see ``_merge_candidates``.
     Returns (values [Q, k], indices [Q, k]) sorted descending per row.
     """
     Q = queries.shape[0]
@@ -69,13 +94,7 @@ def _chunk_topk_scan(queries, index, k: int, chunk: int, n_valid,
         row_ids = c_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
         # mask padded index rows out of the ranking
         scores = jnp.where(row_ids[None, :] < n_valid, scores, -jnp.inf)
-        cat_v = jnp.concatenate([best_v, scores], axis=1)
-        cat_i = jnp.concatenate(
-            [best_i, jnp.broadcast_to(row_ids[None, :], scores.shape)], axis=1
-        )
-        new_v, sel = jax.lax.top_k(cat_v, k)
-        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
-        return (new_v, new_i), None
+        return _merge_candidates(best_v, best_i, scores, row_ids, k, merge), None
 
     (vals, idxs), _ = jax.lax.scan(
         body, init, (chunks, jnp.arange(n_chunks, dtype=jnp.int32))
@@ -83,12 +102,12 @@ def _chunk_topk_scan(queries, index, k: int, chunk: int, n_valid,
     return vals, idxs
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def _topk_jit(queries, index, k: int, chunk: int, n_valid):
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "merge"))
+def _topk_jit(queries, index, k: int, chunk: int, n_valid, merge="exact"):
     # n_valid is TRACED (a jnp scalar): growing/shrinking corpora of the
     # same padded length reuse one executable instead of recompiling
     # (~40 s/compile through the axon tunnel)
-    return _chunk_topk_scan(queries, index, k, chunk, n_valid)
+    return _chunk_topk_scan(queries, index, k, chunk, n_valid, merge=merge)
 
 
 def cosine_topk(
@@ -98,6 +117,7 @@ def cosine_topk(
     normalize: bool = True,
     chunk: int = 8192,
     mesh=None,
+    merge: str = "exact",
 ):
     """Top-k cosine-similarity retrieval on device.
 
@@ -111,6 +131,11 @@ def cosine_topk(
     chunk: index rows per scan step (bounds the [Q, chunk] score tile).
     mesh: optional ``plip_tpu.parallel`` mesh — index rows shard over its
         ``dp`` axis and candidates gather over ICI.
+    merge: "exact" (default; the reference-parity contract below) or
+        "approx" — ``lax.approx_max_k`` chunk reduction, ~0.95+ per-chunk
+        candidate recall but 4.5× faster at Q=64 (PERF.md). Opt in when
+        downstream tolerates approximate rankings (or rescores, as the
+        int8 path does).
 
     Returns (indices [Q, k] int32, scores [Q, k] fp32), descending.
     Exact ties rank earliest-corpus-index first (lax.top_k is stable);
@@ -129,14 +154,18 @@ def cosine_topk(
     if normalize in (True, "both"):
         x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
+    if merge not in ("exact", "approx"):
+        raise ValueError(f"unknown merge {merge!r}")
     if mesh is not None:
-        return _cosine_topk_mesh(q, x, k, chunk, mesh)
+        return _cosine_topk_mesh(q, x, k, chunk, mesh, merge=merge)
 
     chunk = max(k, min(chunk, n))
+    if chunk < 4 * k:  # approx reduction needs headroom over k to pay off
+        merge = "exact"
     n_pad = -(-n // chunk) * chunk
     if n_pad != n:
         x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
-    vals, idxs = _topk_jit(q, x, k, chunk, jnp.int32(n))
+    vals, idxs = _topk_jit(q, x, k, chunk, jnp.int32(n), merge=merge)
     return np.asarray(idxs), np.asarray(vals)
 
 
@@ -159,7 +188,8 @@ def quantize_rows(index_vectors, normalize: bool = True):
     return q, (1.0 / scales).astype(np.float32)
 
 
-def _chunk_topk_scan_int8(q_i8, q_inv, chunks_i8, row_inv, k, chunk, n_valid):
+def _chunk_topk_scan_int8(q_i8, q_inv, chunks_i8, row_inv, k, chunk, n_valid,
+                          merge: str = "exact"):
     """int8 variant of the streaming scan: [Q, chunk] dots run on the MXU's
     int8 path (int32 accumulation), dequantized to fp32 scores by the per-
     query and per-row inverse scales before the carry merge."""
@@ -176,13 +206,7 @@ def _chunk_topk_scan_int8(q_i8, q_inv, chunks_i8, row_inv, k, chunk, n_valid):
         scores = idot.astype(jnp.float32) * q_inv[:, None] * inv_s[None, :]
         row_ids = c_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
         scores = jnp.where(row_ids[None, :] < n_valid, scores, -jnp.inf)
-        cat_v = jnp.concatenate([best_v, scores], axis=1)
-        cat_i = jnp.concatenate(
-            [best_i, jnp.broadcast_to(row_ids[None, :], scores.shape)], axis=1
-        )
-        new_v, sel = jax.lax.top_k(cat_v, k)
-        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
-        return (new_v, new_i), None
+        return _merge_candidates(best_v, best_i, scores, row_ids, k, merge), None
 
     n_chunks = chunks_i8.shape[0] // chunk
     (vals, idxs), _ = jax.lax.scan(
@@ -197,9 +221,11 @@ def _chunk_topk_scan_int8(q_i8, q_inv, chunks_i8, row_inv, k, chunk, n_valid):
     return vals, idxs
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def _topk_int8_jit(q_i8, q_inv, index_i8, row_inv, k: int, chunk: int, n_valid):
-    return _chunk_topk_scan_int8(q_i8, q_inv, index_i8, row_inv, k, chunk, n_valid)
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "merge"))
+def _topk_int8_jit(q_i8, q_inv, index_i8, row_inv, k: int, chunk: int,
+                   n_valid, merge="exact"):
+    return _chunk_topk_scan_int8(
+        q_i8, q_inv, index_i8, row_inv, k, chunk, n_valid, merge=merge)
 
 
 def cosine_topk_int8(
@@ -211,6 +237,7 @@ def cosine_topk_int8(
     chunk: int = 8192,
     oversample: int = 4,
     rescore_vectors=None,
+    merge: str = "auto",
 ):
     """Streaming top-k over an int8-quantized index (see ``quantize_rows``).
 
@@ -229,6 +256,11 @@ def cosine_topk_int8(
     ``normalized_query · rescore_vectors[i]`` verbatim — raw-space rows
     reproduce the reference PLIP ranking semantics
     (`/root/reference/plip.py:73-76`), pre-normalized rows give cosine.
+
+    ``merge``: "auto" (default) uses the cheap ``lax.approx_max_k`` chunk
+    reduction when rescoring (the exact rescore absorbs its ~0.95+
+    per-chunk candidate recall; 4.5-5.3× faster at Q=64 — PERF.md) and the
+    exact merge otherwise; "exact"/"approx" force.
 
     Returns (indices [Q, k] int32, scores [Q, k] fp32) descending; scores
     are exact fp32 dots when rescoring, quantized estimates otherwise.
@@ -257,8 +289,17 @@ def cosine_topk_int8(
     if n_pad != n:
         xi = jnp.pad(xi, ((0, n_pad - n), (0, 0)))
         ri = jnp.pad(ri, (0, n_pad - n))
+    if merge == "auto":
+        merge = "approx" if rescore_vectors is not None else "exact"
+    if merge not in ("exact", "approx"):
+        raise ValueError(f"unknown merge {merge!r}")
+    # approx_max_k needs the reduced dim comfortably above k — tiny corpora
+    # (chunk ~ m) gain nothing from the approx reduction anyway
+    if chunk < 4 * m:
+        merge = "exact"
     vals, idxs = _topk_int8_jit(
-        jnp.asarray(q_i8), jnp.asarray(q_inv), xi, ri, m, chunk, jnp.int32(n)
+        jnp.asarray(q_i8), jnp.asarray(q_inv), xi, ri, m, chunk,
+        jnp.int32(n), merge=merge,
     )
     idxs, vals = np.asarray(idxs), np.asarray(vals)
     if rescore_vectors is None:
@@ -277,7 +318,7 @@ def cosine_topk_int8(
     )
 
 
-def _cosine_topk_mesh(q, x, k: int, chunk: int, mesh):
+def _cosine_topk_mesh(q, x, k: int, chunk: int, mesh, merge: str = "exact"):
     """Index rows sharded over the mesh's dp axis; per-shard streaming
     top-k, then an all-gather of [Q, k] candidates and a final top-k."""
     from jax.sharding import PartitionSpec as P
@@ -305,7 +346,7 @@ def _cosine_topk_mesh(q, x, k: int, chunk: int, mesh):
         ax = jax.lax.axis_index("dp")
         real = jnp.clip(n - ax * shard_pad, 0, shard_pad)
         vals, idxs = _chunk_topk_scan(qs, xs, k, chunk, n_valid=real,
-                                      vary_axis="dp")
+                                      vary_axis="dp", merge=merge)
         gids = ax * shard_pad + idxs
         vals = jnp.where(gids < n, vals, -jnp.inf)  # belt-and-braces
         cv = jax.lax.all_gather(vals, "dp", axis=1, tiled=True)  # [Q, dp*k]

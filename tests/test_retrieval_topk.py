@@ -189,3 +189,54 @@ def test_api_retrieval_int8_index(tmp_path):
     dev = m.retrieval(["tumor tissue", "benign gland"], top_k=4,
                       backend="device")
     np.testing.assert_array_equal(np.asarray(host), np.asarray(dev))
+
+
+def test_approx_merge_paths():
+    """merge="approx" compiles and returns well-formed rankings in both the
+    fp32 and int8 scans; with the exact rescore the int8+approx path's final
+    top-k equals the exact host ranking (the shipped "auto" config). On CPU
+    approx_max_k lowers near-exactly; the TPU recall ablation lives in
+    experiments/bench_topk_merge.py (measured candidate recall 1.000)."""
+    from plip_tpu.ops.retrieval import (
+        cosine_topk,
+        cosine_topk_int8,
+        quantize_rows,
+    )
+
+    rng = np.random.default_rng(21)
+    q = rng.standard_normal((6, 64)).astype(np.float32)
+    x = rng.standard_normal((900, 64)).astype(np.float32)
+    ref_idx, _ = _host_topk(q, x, 10, normalize="queries")
+
+    idx_a, vals_a = cosine_topk(q, x, k=10, normalize="queries", chunk=128,
+                                merge="approx")
+    assert idx_a.shape == (6, 10)
+    assert np.all(np.diff(vals_a, axis=1) <= 1e-6)  # descending
+    recall = np.mean([
+        len(set(idx_a[i]) & set(ref_idx[i])) / 10 for i in range(6)])
+    assert recall >= 0.9, recall
+
+    q8, inv = quantize_rows(x, normalize=False)
+    idx_q, _ = cosine_topk_int8(q, q8, inv, k=10, chunk=128,
+                                rescore_vectors=x)  # merge="auto" -> approx
+    np.testing.assert_array_equal(idx_q, ref_idx)
+
+    with pytest.raises(ValueError, match="unknown merge"):
+        cosine_topk(q, x, k=10, merge="fast")
+    with pytest.raises(ValueError, match="unknown merge"):
+        cosine_topk_int8(q, q8, inv, k=10, merge="fast")
+
+
+def test_approx_merge_mesh_matches_single():
+    """merge="approx" threads through the dp-sharded mesh stream."""
+    from plip_tpu.parallel.mesh import create_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = create_mesh(dp=8, tp=1)
+    rng = np.random.default_rng(13)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    x = rng.standard_normal((203, 16)).astype(np.float32)
+    idx_m, _ = cosine_topk(q, x, k=9, chunk=32, mesh=mesh, merge="approx")
+    idx_s, _ = cosine_topk(q, x, k=9, chunk=32, merge="approx")
+    np.testing.assert_array_equal(idx_m, idx_s)
