@@ -41,6 +41,16 @@ from .contrastive import (
 )
 
 
+def _next_divisor(batch_size: int, current: int) -> "int | None":
+    """Smallest accumulation count > ``current`` that divides the batch
+    (microbatches must be equal-sized for the two-pass scheme), or None
+    once the only remaining split is below one sample per microbatch."""
+    for k in range(current + 1, batch_size + 1):
+        if batch_size % k == 0:
+            return k
+    return None
+
+
 class CLIPTuner:
     def __init__(
         self,
@@ -73,7 +83,10 @@ class CLIPTuner:
         # (1,998 pairs/s at b512 vs 1,832 full remat, PERF.md round 2).
         self.remat = remat
         # gradient-exact two-pass InfoNCE accumulation (contrastive.py):
-        # fit batches beyond single-pass memory without changing the update
+        # fit batches beyond single-pass memory without changing the update.
+        # "auto" = start single-pass and, if the FIRST step dies with a
+        # device RESOURCE_EXHAUSTED, transparently retry with the smallest
+        # accumulation that fits (the update is identical either way).
         self.accum_steps = accum_steps
 
         if backbone:
@@ -157,27 +170,46 @@ class CLIPTuner:
             total_steps=total_steps,
             weight_decay=self.hyper_params["weight_decay"],
         )
-        if resume_from:
-            from .contrastive import load_train_state
+        auto_accum = self.accum_steps == "auto"
+        accum = 1 if auto_accum else int(self.accum_steps)
+        # the step donates its state; a failed (OOM) first step may have
+        # consumed the buffers, so "auto" stashes a host copy to re-init from
+        params_host = (
+            jax.tree.map(lambda a: np.asarray(a), self.params)
+            if auto_accum and not resume_from else None
+        )
 
-            self.state, _ = load_train_state(resume_from, opt)
-            if self.mesh is not None:
-                from ..parallel.mesh import shard_params
+        def fresh_state():
+            if resume_from:
+                from .contrastive import load_train_state
 
-                self.state = self.state._replace(
-                    params=shard_params(self.state.params, self.mesh)
-                )
-        else:
-            params = self.params
+                state, _ = load_train_state(resume_from, opt)
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_params
+
+                    state = state._replace(
+                        params=shard_params(state.params, self.mesh)
+                    )
+                return state
+            params = (
+                jax.tree.map(jnp.asarray, params_host)
+                if params_host is not None else self.params
+            )
             if self.mesh is not None:
                 from ..parallel.mesh import shard_params
 
                 params = shard_params(params, self.mesh)
-            self.state = init_train_state(params, opt)
+            return init_train_state(params, opt)
+
+        self.state = fresh_state()
         remat = ("mlp" if batch_size >= 64 else False) \
             if self.remat == "auto" else self.remat
-        step_fn = make_train_step(cfg, opt, dtype=self.dtype, remat=remat,
-                                  accum_steps=self.accum_steps)
+
+        def build_step(k):
+            return make_train_step(cfg, opt, dtype=self.dtype, remat=remat,
+                                   accum_steps=k)
+
+        step_fn = build_step(accum)
         self._eval_loss = jax.jit(
             lambda p, px, ids: clip_loss(p, px, ids, cfg, self.dtype)
         )
@@ -218,7 +250,36 @@ class CLIPTuner:
                     )
                 else:
                     ids = self._tokenize(captions)
-                self.state, metrics = step_fn(self.state, pixels, ids)
+                if auto_accum and epoch == 0 and i == 0:
+                    # first step decides the accumulation: the shapes (and
+                    # thus peak memory) are identical for every later step,
+                    # so a first step that fits means they all fit. Later
+                    # OOMs (fragmentation, another tenant) are NOT retried.
+                    while True:
+                        try:
+                            new_state, metrics = step_fn(
+                                self.state, pixels, ids)
+                            float(metrics["loss"])  # force execution now
+                            self.state = new_state
+                            break
+                        except Exception as e:  # device OOM arrives as
+                            # ValueError or JaxRuntimeError depending on
+                            # where the fetch happens — match the message
+                            if "RESOURCE_EXHAUSTED" not in str(e):
+                                raise
+                            nxt = _next_divisor(batch_size, accum)
+                            if nxt is None:
+                                raise
+                            self.logging.warning(
+                                "train step OOM at accum_steps=%d; retrying "
+                                "with gradient-exact accumulation "
+                                "accum_steps=%d (identical update, 1/k "
+                                "activation memory)", accum, nxt)
+                            accum = nxt
+                            step_fn = build_step(accum)
+                            self.state = fresh_state()
+                else:
+                    self.state, metrics = step_fn(self.state, pixels, ids)
                 train_loss_this_epoch += float(metrics["loss"])
                 self.logging.info(
                     f"[Train - this batch] epoch: {epoch}, batch: {i}, "

@@ -247,3 +247,71 @@ def test_finetuner_adam_is_adam():
     # Adam state carries mu and nu; Adagrad state carries sum-of-squares only
     names = str(type(adam_state[0]) if isinstance(adam_state, tuple) else adam_state)
     assert "Adam" in names or "ScaleByAdam" in str(adam_state)
+
+
+def test_clip_tuner_auto_accum_oom_fallback(tiny_ckpt, image_caption_df,
+                                            tmp_path, monkeypatch):
+    """accum_steps="auto": a simulated device RESOURCE_EXHAUSTED on the
+    first step transparently retries with the smallest fitting
+    accumulation, and the resulting loss trajectory equals an explicit
+    accum_steps=2 run (the two-pass scheme is gradient-exact)."""
+    import plip_tpu.train.clip_tuner as ct
+
+    real_make = ct.make_train_step
+    built = []
+
+    def fake_make(cfg, opt, dtype=None, remat=False, accum_steps=1):
+        built.append(accum_steps)
+        step = real_make(cfg, opt, dtype=dtype, remat=remat,
+                         accum_steps=accum_steps)
+
+        def wrapped(state, px, ids):
+            if accum_steps < 2:
+                raise ValueError(
+                    "RESOURCE_EXHAUSTED: TPU backend error (simulated)")
+            return step(state, px, ids)
+
+        return wrapped
+
+    def run(accum_setting, patched):
+        if patched:
+            monkeypatch.setattr(ct, "make_train_step", fake_make)
+        else:
+            monkeypatch.setattr(ct, "make_train_step", real_make)
+        from plip_tpu.train.clip_tuner import CLIPTuner
+
+        t = CLIPTuner(
+            args=SimpleNamespace(first_resize=256, pxsize=224,
+                                 optimizer="AdamW"),
+            backbone=tiny_ckpt, lr=1e-4, warmup=2,
+            accum_steps=accum_setting,
+        )
+        records = []
+        t.logging = SimpleNamespace(
+            info=lambda msg, *a: records.append(msg % a if a else msg),
+            warning=lambda msg, *a: records.append(msg % a if a else msg),
+        )
+        t.tuner(image_caption_df, image_caption_df.iloc[:4],
+                save_directory=str(tmp_path), batch_size=4, epochs=1,
+                evaluation_steps=0, num_workers=2, start_time="aa")
+        losses = [
+            float(r.rsplit("loss: ", 1)[1]) for r in records
+            if "[Train - this batch]" in r
+        ]
+        return losses, records
+
+    losses_auto, records = run("auto", patched=True)
+    assert built[:2] == [1, 2], built  # OOM at 1, retried at 2
+    assert any("OOM at accum_steps=1" in r for r in records)
+    losses_k2, _ = run(2, patched=False)
+    np.testing.assert_allclose(losses_auto, losses_k2, rtol=2e-5)
+
+
+def test_next_divisor():
+    from plip_tpu.train.clip_tuner import _next_divisor
+
+    assert _next_divisor(8, 1) == 2
+    assert _next_divisor(8, 2) == 4
+    assert _next_divisor(6, 2) == 3
+    assert _next_divisor(7, 1) == 7  # prime batch: only the full split
+    assert _next_divisor(4, 4) is None
