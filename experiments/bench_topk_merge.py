@@ -8,6 +8,10 @@ The int8 path already rescores candidates exactly on the host, so a ~0.95
 per-chunk recall compounds to a high end-to-end recall for the oversampled
 candidate set.
 
+The approx variants call the SHIPPED scans with merge="approx" (the local
+re-implementations this file first measured were removed once the merge
+shipped — same body via _merge_candidates, so the numbers carry over).
+
 Variants (one process, interleaved):
   f32-exact / f32-approx   : _chunk_topk_scan vs approx-merge fp32
   i8-exact  / i8-approx    : int8 scan, exact vs approx merge
@@ -29,66 +33,6 @@ from plip_tpu.ops.retrieval import _chunk_topk_scan, _chunk_topk_scan_int8
 D, CHUNK = 512, 8192
 N = 1048576
 K = 40
-
-
-def _approx_scan(queries, index, k, chunk, n_valid):
-    """fp32 streaming scan with approx_max_k chunk reduction."""
-    Q = queries.shape[0]
-    n_chunks = index.shape[0] // chunk
-    chunks = index.reshape(n_chunks, chunk, index.shape[1])
-    init = (
-        jnp.full((Q, k), -jnp.inf, jnp.float32),
-        jnp.full((Q, k), -1, jnp.int32),
-    )
-
-    def body(carry, xs):
-        best_v, best_i = carry
-        rows, c_idx = xs
-        scores = jnp.dot(queries, rows.T, preferred_element_type=jnp.float32)
-        row_ids = c_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
-        scores = jnp.where(row_ids[None, :] < n_valid, scores, -jnp.inf)
-        cv, ci = jax.lax.approx_max_k(scores, k)
-        cand_i = jnp.take_along_axis(
-            jnp.broadcast_to(row_ids[None, :], scores.shape), ci, axis=1)
-        cat_v = jnp.concatenate([best_v, cv], axis=1)
-        cat_i = jnp.concatenate([best_i, cand_i], axis=1)
-        new_v, sel = jax.lax.top_k(cat_v, k)
-        return (new_v, jnp.take_along_axis(cat_i, sel, axis=1)), None
-
-    (vals, idxs), _ = jax.lax.scan(
-        body, init, (chunks, jnp.arange(n_chunks, dtype=jnp.int32)))
-    return vals, idxs
-
-
-def _approx_scan_int8(q_i8, q_inv, chunks_i8, row_inv, k, chunk, n_valid):
-    Q = q_i8.shape[0]
-    n_chunks = chunks_i8.shape[0] // chunk
-    init = (
-        jnp.full((Q, k), -jnp.inf, jnp.float32),
-        jnp.full((Q, k), -1, jnp.int32),
-    )
-
-    def body(carry, xs):
-        best_v, best_i = carry
-        rows, inv_s, c_idx = xs
-        idot = jnp.dot(q_i8, rows.T, preferred_element_type=jnp.int32)
-        scores = idot.astype(jnp.float32) * q_inv[:, None] * inv_s[None, :]
-        row_ids = c_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
-        scores = jnp.where(row_ids[None, :] < n_valid, scores, -jnp.inf)
-        cv, ci = jax.lax.approx_max_k(scores, k)
-        cand_i = jnp.take_along_axis(
-            jnp.broadcast_to(row_ids[None, :], scores.shape), ci, axis=1)
-        cat_v = jnp.concatenate([best_v, cv], axis=1)
-        cat_i = jnp.concatenate([best_i, cand_i], axis=1)
-        new_v, sel = jax.lax.top_k(cat_v, k)
-        return (new_v, jnp.take_along_axis(cat_i, sel, axis=1)), None
-
-    (vals, idxs), _ = jax.lax.scan(
-        body, init,
-        (chunks_i8.reshape(n_chunks, chunk, chunks_i8.shape[1]),
-         row_inv.reshape(n_chunks, chunk),
-         jnp.arange(n_chunks, dtype=jnp.int32)))
-    return vals, idxs
 
 
 @jax.jit
@@ -131,17 +75,18 @@ def main():
                     qv + c * 1e-20, xv, K, CHUNK, jnp.int32(N)), iters),
                 (qd, x)),
             "f32-approx": (chained(
-                lambda c, qv, xv: _approx_scan(
-                    qv + c * 1e-20, xv, K, CHUNK, jnp.int32(N)), iters),
+                lambda c, qv, xv: _chunk_topk_scan(
+                    qv + c * 1e-20, xv, K, CHUNK, jnp.int32(N),
+                    merge="approx"), iters),
                 (qd, x)),
             "i8-exact": (chained(
                 lambda c, qi, qv, xv, iv: _chunk_topk_scan_int8(
                     qi, qv + c * 1e-20, xv, iv, K, CHUNK, jnp.int32(N)),
                 iters), (q8d, qivd, x8, inv)),
             "i8-approx": (chained(
-                lambda c, qi, qv, xv, iv: _approx_scan_int8(
-                    qi, qv + c * 1e-20, xv, iv, K, CHUNK, jnp.int32(N)),
-                iters), (q8d, qivd, x8, inv)),
+                lambda c, qi, qv, xv, iv: _chunk_topk_scan_int8(
+                    qi, qv + c * 1e-20, xv, iv, K, CHUNK, jnp.int32(N),
+                    merge="approx"), iters), (q8d, qivd, x8, inv)),
         }
         wrapped = {
             name: (lambda f=fn, a=args: sync(f(*a)))
@@ -153,7 +98,8 @@ def main():
 
     # candidate recall of the approx int8 scan vs the exact int8 scan
     # (what the host rescore actually consumes), Q=64
-    va, ia = _approx_scan_int8(q8d, qivd, x8, inv, K, CHUNK, jnp.int32(N))
+    va, ia = _chunk_topk_scan_int8(q8d, qivd, x8, inv, K, CHUNK,
+                                   jnp.int32(N), merge="approx")
     ve, ie = _chunk_topk_scan_int8(q8d, qivd, x8, inv, K, CHUNK, jnp.int32(N))
     ia, ie = np.asarray(ia), np.asarray(ie)
     rec = np.mean([len(set(ia[r]) & set(ie[r])) / K for r in range(ia.shape[0])])

@@ -386,13 +386,20 @@ class PLIP:
 
         quantize: ``"int8"`` (or True) stores the DEVICE copy of the index
         as per-row-scaled int8 (``ops.retrieval.quantize_rows``): 4× less
-        HBM and ~4× less scan bandwidth at WSI scale. The fp32 vectors stay
-        on the host and the device top-k is followed by an exact host
-        rescore of 4×k oversampled candidates, so the returned ranking and
-        scores keep the reference's raw-space semantics (plip.py:73-76).
+        HBM and faster scans at WSI scale. The fp32 vectors stay on the
+        host and the device top-k is followed by an exact host rescore of
+        4×top_k oversampled candidates in the reference's raw-space
+        semantics (plip.py:73-76) — NEAR-exact overall: the true ranking
+        is returned whenever the true top-k survives candidate selection
+        (measured parity 1.000; see ops/retrieval.py for the precise
+        guarantee, and use the default fp32 index for strict exactness).
         Only the device backend is affected; the host backend always uses
         the exact fp32 vectors.
         """
+        if quantize not in (False, True, "int8"):
+            raise ValueError(
+                f"unknown quantize {quantize!r} (expected False or 'int8')"
+            )
         self.image_vectors = self.encode_images(images, batch_size=batch_size)
         self._index_quantize = "int8" if quantize is True else quantize
         return self.image_vectors
@@ -457,18 +464,29 @@ class PLIP:
                     "int8 retrieval index is single-device for now; using "
                     "the fp32 mesh path instead", stacklevel=2)
                 quant = False
-            # keep the corpus device-resident across calls: one H2D upload
-            # per index, not per query batch (WSI-scale indexes are GBs and
-            # H2D is the wall on tunneled rigs)
+            # keep the corpus device-resident across calls, PRE-PADDED to a
+            # chunk multiple: one H2D upload per index, not per query batch
+            # (WSI-scale indexes are GBs and H2D is the wall on tunneled
+            # rigs), and no transient re-pad copy per call — at the
+            # near-HBM-capacity indexes int8 enables, a per-call 2× copy
+            # could itself OOM
+            chunk = 8192
+            pad = (-(-n // min(chunk, n)) * min(chunk, n)) - n
             key = (id(self.image_vectors), n, quant)
             if getattr(self, "_device_index_key", None) != key:
                 if quant:
                     q8, inv = quantize_rows(self.image_vectors, normalize=False)
+                    if pad:
+                        q8 = np.pad(q8, ((0, pad), (0, 0)))
+                        inv = np.pad(inv, (0, pad))
                     self._device_index = (jnp.asarray(q8), jnp.asarray(inv))
                 else:
-                    self._device_index = jnp.asarray(
-                        self.image_vectors, jnp.float32
-                    )
+                    # jnp end-to-end: a device-resident corpus never makes
+                    # a host round trip (pad runs on device, once per index)
+                    xv = jnp.asarray(self.image_vectors, jnp.float32)
+                    if pad:
+                        xv = jnp.pad(xv, ((0, pad), (0, 0)))
+                    self._device_index = xv
                 self._device_index_key = key
             if quant:
                 # raw-space rows quantized as-is; exact host rescore restores
@@ -476,11 +494,20 @@ class PLIP:
                 idx, _ = cosine_topk_int8(
                     text_vectors, self._device_index[0], self._device_index[1],
                     k=top_k, rescore_vectors=self.image_vectors,
+                    chunk=chunk, n_valid=n,
+                )
+                return idx
+            if self.mesh is not None:
+                # mesh path re-shards rows per device — pass the unpadded
+                # count; it pads per shard itself
+                idx, _ = cosine_topk(
+                    text_vectors, self._device_index[:n], k=top_k,
+                    normalize="queries", mesh=self.mesh,
                 )
                 return idx
             idx, _ = cosine_topk(
                 text_vectors, self._device_index, k=top_k,
-                normalize="queries", mesh=self.mesh,
+                normalize="queries", chunk=chunk, n_valid=n,
             )
             return idx
         return self._nearest_neighbours(

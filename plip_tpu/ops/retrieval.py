@@ -118,6 +118,7 @@ def cosine_topk(
     chunk: int = 8192,
     mesh=None,
     merge: str = "exact",
+    n_valid: "int | None" = None,
 ):
     """Top-k cosine-similarity retrieval on device.
 
@@ -136,6 +137,10 @@ def cosine_topk(
         candidate recall but 4.5× faster at Q=64 (PERF.md). Opt in when
         downstream tolerates approximate rankings (or rescores, as the
         int8 path does).
+    n_valid: number of REAL leading rows when the caller pre-padded the
+        index to a chunk multiple (avoids a transient re-pad copy of a
+        device-resident index); padded rows must be zeros. Single-device
+        path only.
 
     Returns (indices [Q, k] int32, scores [Q, k] fp32), descending.
     Exact ties rank earliest-corpus-index first (lax.top_k is stable);
@@ -144,7 +149,7 @@ def cosine_topk(
     """
     q = jnp.asarray(query_vectors, jnp.float32)
     x = jnp.asarray(index_vectors, jnp.float32)
-    n = x.shape[0]
+    n = x.shape[0] if n_valid is None else int(n_valid)
     if n == 0:  # empty corpus: mirror the host path's [Q, 0] result
         return (np.zeros((q.shape[0], 0), np.int32),
                 np.zeros((q.shape[0], 0), np.float32))
@@ -159,12 +164,12 @@ def cosine_topk(
     if mesh is not None:
         return _cosine_topk_mesh(q, x, k, chunk, mesh, merge=merge)
 
-    chunk = max(k, min(chunk, n))
+    chunk = max(k, min(chunk, x.shape[0]))
     if chunk < 4 * k:  # approx reduction needs headroom over k to pay off
         merge = "exact"
-    n_pad = -(-n // chunk) * chunk
-    if n_pad != n:
-        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    n_pad = -(-x.shape[0] // chunk) * chunk
+    if n_pad != x.shape[0]:
+        x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
     vals, idxs = _topk_jit(q, x, k, chunk, jnp.int32(n), merge=merge)
     return np.asarray(idxs), np.asarray(vals)
 
@@ -238,6 +243,7 @@ def cosine_topk_int8(
     oversample: int = 4,
     rescore_vectors=None,
     merge: str = "auto",
+    n_valid: "int | None" = None,
 ):
     """Streaming top-k over an int8-quantized index (see ``quantize_rows``).
 
@@ -246,10 +252,20 @@ def cosine_topk_int8(
     rows, host-side — HBM holds only the int8 index), the top
     ``oversample*k`` quantized candidates per query are re-scored exactly
     on the host (O(Q·oversample·k·D), microseconds) and the final top-k is
-    the EXACT ranking whenever the true top-k survives the oversampled
-    candidate set — in practice always, unless >(oversample-1)·k corpus
-    rows sit within quantization noise (~1e-3 relative) of the k-th score.
+    the exact ranking of the candidate set. The composite is therefore
+    NEAR-exact: the true top-k is returned whenever every true-top-k row
+    survives (a) int8 quantization noise within the ``oversample*k``
+    candidate margin (~1e-3 relative score error) and (b), under the
+    approx merge, the probabilistic per-chunk ``approx_max_k`` reduction
+    (measured candidate recall 1.000 at N≤1M; PERF.md). Callers needing a
+    hard exactness guarantee should use the fp32 ``cosine_topk`` or pass
+    ``merge="exact"`` (quantization-noise caveat (a) still applies).
     Without ``rescore_vectors`` the quantized ranking is returned as-is.
+
+    ``n_valid``: number of REAL leading rows when the caller pre-padded the
+    index to a chunk multiple (e.g. a cached device-resident padded index —
+    avoids this function's own transient re-pad copy); padded rows must be
+    zeros and are excluded from the ranking.
 
     ``rescore_vectors`` must be preprocessed the same way the rows passed
     to ``quantize_rows`` were (same ``normalize``): the exact score is
@@ -268,7 +284,7 @@ def cosine_topk_int8(
     q = np.asarray(query_vectors, np.float32)
     if normalize_queries:
         q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
-    n = index_i8.shape[0]
+    n = index_i8.shape[0] if n_valid is None else int(n_valid)
     if n == 0:
         return (np.zeros((q.shape[0], 0), np.int32),
                 np.zeros((q.shape[0], 0), np.float32))
@@ -282,13 +298,13 @@ def cosine_topk_int8(
                    ).astype(np.int8)
     q_inv = (q_amax / 127.0).astype(np.float32)
 
-    chunk = max(m, min(chunk, n))
-    n_pad = -(-n // chunk) * chunk
+    chunk = max(m, min(chunk, index_i8.shape[0]))
+    n_pad = -(-index_i8.shape[0] // chunk) * chunk
     xi = jnp.asarray(index_i8)
     ri = jnp.asarray(row_inv_scales, jnp.float32)
-    if n_pad != n:
-        xi = jnp.pad(xi, ((0, n_pad - n), (0, 0)))
-        ri = jnp.pad(ri, (0, n_pad - n))
+    if n_pad != index_i8.shape[0]:
+        xi = jnp.pad(xi, ((0, n_pad - index_i8.shape[0]), (0, 0)))
+        ri = jnp.pad(ri, (0, n_pad - index_i8.shape[0]))
     if merge == "auto":
         merge = "approx" if rescore_vectors is not None else "exact"
     if merge not in ("exact", "approx"):
@@ -332,6 +348,8 @@ def _cosine_topk_mesh(q, x, k: int, chunk: int, mesh, merge: str = "exact"):
     dp = mesh.shape["dp"]
     shard = -(-n // dp)
     chunk = max(k, min(chunk, shard))
+    if chunk < 4 * k:  # same approx-headroom downgrade as the single-device
+        merge = "exact"  # path — per-shard chunks can be much smaller
     shard_pad = -(-shard // chunk) * chunk
     n_pad = shard_pad * dp
     if n_pad != n:

@@ -255,6 +255,11 @@ class CLIPTuner:
                     # thus peak memory) are identical for every later step,
                     # so a first step that fits means they all fit. Later
                     # OOMs (fragmentation, another tenant) are NOT retried.
+                    # Multi-process runs are NOT retried either: an
+                    # asymmetric OOM would desynchronize collectives (one
+                    # process rebuilding at accum=2 while peers already
+                    # stepped at 1) — every process must see the same
+                    # program, so the error propagates instead.
                     while True:
                         try:
                             new_state, metrics = step_fn(
@@ -265,7 +270,8 @@ class CLIPTuner:
                         except Exception as e:  # device OOM arrives as
                             # ValueError or JaxRuntimeError depending on
                             # where the fetch happens — match the message
-                            if "RESOURCE_EXHAUSTED" not in str(e):
+                            if ("RESOURCE_EXHAUSTED" not in str(e)
+                                    or jax.process_count() > 1):
                                 raise
                             nxt = _next_divisor(batch_size, accum)
                             if nxt is None:
@@ -278,6 +284,7 @@ class CLIPTuner:
                             accum = nxt
                             step_fn = build_step(accum)
                             self.state = fresh_state()
+                    params_host = None  # settled: release the init stash
                 else:
                     self.state, metrics = step_fn(self.state, pixels, ids)
                 train_loss_this_epoch += float(metrics["loss"])
@@ -313,9 +320,11 @@ class CLIPTuner:
             else:
                 from .contrastive import gather_to_host
 
-                params_host = gather_to_host(self.state.params)
+                # NOTE: deliberately NOT named params_host — that local is
+                # the auto-accum init stash fresh_state() closes over
+                host_params = gather_to_host(self.state.params)
                 if jax.process_index() == 0:
-                    save_checkpoint(ckpt_path, params_host, cfg)
+                    save_checkpoint(ckpt_path, host_params, cfg)
 
         self.params = self.state.params
         return f"_{start_time}_model.npz"
