@@ -459,11 +459,6 @@ class PLIP:
             from .ops.retrieval import cosine_topk, cosine_topk_int8, quantize_rows
 
             quant = getattr(self, "_index_quantize", False)
-            if quant and self.mesh is not None:
-                warnings.warn(
-                    "int8 retrieval index is single-device for now; using "
-                    "the fp32 mesh path instead", stacklevel=2)
-                quant = False
             # keep the corpus device-resident across calls, PRE-PADDED to a
             # chunk multiple: one H2D upload per index, not per query batch
             # (WSI-scale indexes are GBs and H2D is the wall on tunneled
@@ -490,11 +485,13 @@ class PLIP:
                 self._device_index_key = key
             if quant:
                 # raw-space rows quantized as-is; exact host rescore restores
-                # the reference ranking/scores (see build_image_index)
+                # the reference ranking/scores (see build_image_index). With
+                # a mesh the int8 rows shard over dp and candidates gather
+                # over ICI before the host rescore.
                 idx, _ = cosine_topk_int8(
                     text_vectors, self._device_index[0], self._device_index[1],
                     k=top_k, rescore_vectors=self.image_vectors,
-                    chunk=chunk, n_valid=n,
+                    chunk=chunk, n_valid=n, mesh=self.mesh,
                 )
                 return idx
             if self.mesh is not None:

@@ -194,7 +194,8 @@ def quantize_rows(index_vectors, normalize: bool = True):
 
 
 def _chunk_topk_scan_int8(q_i8, q_inv, chunks_i8, row_inv, k, chunk, n_valid,
-                          merge: str = "exact"):
+                          merge: str = "exact",
+                          vary_axis: "str | None" = None):
     """int8 variant of the streaming scan: [Q, chunk] dots run on the MXU's
     int8 path (int32 accumulation), dequantized to fp32 scores by the per-
     query and per-row inverse scales before the carry merge."""
@@ -203,6 +204,13 @@ def _chunk_topk_scan_int8(q_i8, q_inv, chunks_i8, row_inv, k, chunk, n_valid,
         jnp.full((Q, k), -jnp.inf, jnp.float32),
         jnp.full((Q, k), -1, jnp.int32),
     )
+    if vary_axis is not None:  # see _chunk_topk_scan
+        pcast = getattr(jax.lax, "pcast", None)
+        if pcast is not None:
+            init = pcast(init, (vary_axis,), to="varying")
+        else:  # pragma: no cover — older jax
+            init = jax.tree.map(
+                lambda a: jax.lax.pvary(a, (vary_axis,)), init)
 
     def body(carry, xs):
         best_v, best_i = carry
@@ -244,6 +252,7 @@ def cosine_topk_int8(
     rescore_vectors=None,
     merge: str = "auto",
     n_valid: "int | None" = None,
+    mesh=None,
 ):
     """Streaming top-k over an int8-quantized index (see ``quantize_rows``).
 
@@ -266,6 +275,11 @@ def cosine_topk_int8(
     index to a chunk multiple (e.g. a cached device-resident padded index —
     avoids this function's own transient re-pad copy); padded rows must be
     zeros and are excluded from the ranking.
+
+    ``mesh``: shard the int8 index rows over the mesh's ``dp`` axis — each
+    device streams its local shard (int8 MXU dots), the [Q, dp·m]
+    candidates gather over ICI, and the host rescore (if any) runs on the
+    globally merged candidates. Same semantics as the single-device path.
 
     ``rescore_vectors`` must be preprocessed the same way the rows passed
     to ``quantize_rows`` were (same ``normalize``): the exact score is
@@ -298,26 +312,32 @@ def cosine_topk_int8(
                    ).astype(np.int8)
     q_inv = (q_amax / 127.0).astype(np.float32)
 
-    chunk = max(m, min(chunk, index_i8.shape[0]))
-    n_pad = -(-index_i8.shape[0] // chunk) * chunk
-    xi = jnp.asarray(index_i8)
-    ri = jnp.asarray(row_inv_scales, jnp.float32)
-    if n_pad != index_i8.shape[0]:
-        xi = jnp.pad(xi, ((0, n_pad - index_i8.shape[0]), (0, 0)))
-        ri = jnp.pad(ri, (0, n_pad - index_i8.shape[0]))
     if merge == "auto":
         merge = "approx" if rescore_vectors is not None else "exact"
     if merge not in ("exact", "approx"):
         raise ValueError(f"unknown merge {merge!r}")
-    # approx_max_k needs the reduced dim comfortably above k — tiny corpora
-    # (chunk ~ m) gain nothing from the approx reduction anyway
-    if chunk < 4 * m:
-        merge = "exact"
-    vals, idxs = _topk_int8_jit(
-        jnp.asarray(q_i8), jnp.asarray(q_inv), xi, ri, m, chunk,
-        jnp.int32(n), merge=merge,
-    )
-    idxs, vals = np.asarray(idxs), np.asarray(vals)
+
+    if mesh is not None:
+        idxs, vals = _int8_mesh_candidates(
+            jnp.asarray(q_i8), jnp.asarray(q_inv), index_i8,
+            row_inv_scales, m, chunk, mesh, merge, n)
+    else:
+        chunk = max(m, min(chunk, index_i8.shape[0]))
+        n_pad = -(-index_i8.shape[0] // chunk) * chunk
+        xi = jnp.asarray(index_i8)
+        ri = jnp.asarray(row_inv_scales, jnp.float32)
+        if n_pad != index_i8.shape[0]:
+            xi = jnp.pad(xi, ((0, n_pad - index_i8.shape[0]), (0, 0)))
+            ri = jnp.pad(ri, (0, n_pad - index_i8.shape[0]))
+        # approx_max_k needs the reduced dim comfortably above k — tiny
+        # corpora (chunk ~ m) gain nothing from the approx reduction anyway
+        if chunk < 4 * m:
+            merge = "exact"
+        vals, idxs = _topk_int8_jit(
+            jnp.asarray(q_i8), jnp.asarray(q_inv), xi, ri, m, chunk,
+            jnp.int32(n), merge=merge,
+        )
+        idxs, vals = np.asarray(idxs), np.asarray(vals)
     if rescore_vectors is None:
         return idxs, vals
 
@@ -332,6 +352,57 @@ def cosine_topk_int8(
         np.take_along_axis(idxs, order, axis=1),
         np.take_along_axis(exact, order, axis=1),
     )
+
+
+def _int8_mesh_candidates(q_i8, q_inv, index_i8, row_inv, m: int, chunk: int,
+                          mesh, merge: str, n: int):
+    """dp-sharded int8 candidate stream: per-shard `_chunk_topk_scan_int8`,
+    ICI all-gather of [Q, dp·m] candidates, global top-m. Returns host
+    (indices, values) of the m best quantized candidates (rows ≥ n masked).
+    Mirrors `_cosine_topk_mesh`; the caller rescores if it wants exactness.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    dp = mesh.shape["dp"]
+    rows = index_i8.shape[0]
+    shard = -(-rows // dp)
+    chunk = max(m, min(chunk, shard))
+    if chunk < 4 * m:  # approx needs headroom over m (see single-device)
+        merge = "exact"
+    shard_pad = -(-shard // chunk) * chunk
+    n_pad = shard_pad * dp
+    xi = jnp.asarray(index_i8)
+    ri = jnp.asarray(row_inv, jnp.float32)
+    if n_pad != rows:
+        xi = jnp.pad(xi, ((0, n_pad - rows), (0, 0)))
+        ri = jnp.pad(ri, (0, n_pad - rows))
+
+    def local(qs, qv, xs, iv):
+        ax = jax.lax.axis_index("dp")
+        real = jnp.clip(n - ax * shard_pad, 0, shard_pad)
+        vals, idxs = _chunk_topk_scan_int8(
+            qs, qv, xs, iv, m, chunk, n_valid=real, merge=merge,
+            vary_axis="dp")
+        gids = ax * shard_pad + idxs
+        vals = jnp.where(gids < n, vals, -jnp.inf)
+        cv = jax.lax.all_gather(vals, "dp", axis=1, tiled=True)  # [Q, dp*m]
+        ci = jax.lax.all_gather(gids, "dp", axis=1, tiled=True)
+        best_v, sel = jax.lax.top_k(cv, m)
+        return best_v, jnp.take_along_axis(ci, sel, axis=1)
+
+    specs = dict(in_specs=(P(), P(), P("dp", None), P("dp")),
+                 out_specs=(P(), P()))
+    try:
+        fn = shard_map(local, mesh=mesh, check_vma=False, **specs)
+    except TypeError:  # pragma: no cover — older jax
+        fn = shard_map(local, mesh=mesh, check_rep=False, **specs)
+    vals, idxs = jax.jit(fn)(q_i8, q_inv, xi, ri)
+    return np.asarray(idxs).astype(np.int32), np.asarray(vals)
 
 
 def _cosine_topk_mesh(q, x, k: int, chunk: int, mesh, merge: str = "exact"):

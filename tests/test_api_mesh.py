@@ -69,3 +69,15 @@ def test_loader_zero_on_error(ckpt, images, tmp_path):
     ds2 = ImageDataset([bad])
     with pytest.raises(Exception):
         list(PrefetchLoader(ds2, batch_size=1, device_put=False))
+
+
+def test_mesh_int8_retrieval_matches_host(ckpt, images):
+    """int8 index + dp×tp mesh through the public API: device retrieval
+    (dp-sharded int8 scan + ICI gather + exact host rescore) returns the
+    host backend's reference-semantics ranking."""
+    mesh = create_mesh(dp=4, tp=2)
+    m = PLIP(ckpt, mesh=mesh)
+    m.build_image_index(images, batch_size=8, quantize="int8")
+    host = m.retrieval(["tumor", "benign gland"], top_k=4, backend="host")
+    dev = m.retrieval(["tumor", "benign gland"], top_k=4, backend="device")
+    np.testing.assert_array_equal(np.asarray(host), np.asarray(dev))

@@ -240,3 +240,35 @@ def test_approx_merge_mesh_matches_single():
     idx_m, _ = cosine_topk(q, x, k=9, chunk=32, mesh=mesh, merge="approx")
     idx_s, _ = cosine_topk(q, x, k=9, chunk=32, merge="approx")
     np.testing.assert_array_equal(idx_m, idx_s)
+
+
+def test_int8_mesh_matches_single_and_host():
+    """int8 candidates dp-sharded over the 8-device CPU mesh + exact host
+    rescore give the same final ranking as the single-device int8 path and
+    the exact host argsort (N % dp != 0, pre-padded n_valid variant too)."""
+    from plip_tpu.parallel.mesh import create_mesh
+    from plip_tpu.ops.retrieval import cosine_topk_int8, quantize_rows
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = create_mesh(dp=8, tp=1)
+    rng = np.random.default_rng(17)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    x = rng.standard_normal((203, 32)).astype(np.float32)
+    q8, inv = quantize_rows(x, normalize=False)
+    idx_m, vals_m = cosine_topk_int8(q, q8, inv, k=7, chunk=32,
+                                     rescore_vectors=x, mesh=mesh)
+    idx_s, vals_s = cosine_topk_int8(q, q8, inv, k=7, chunk=32,
+                                     rescore_vectors=x)
+    ref_idx, _ = _host_topk(q, x, 7, normalize="queries")
+    np.testing.assert_array_equal(idx_m, idx_s)
+    np.testing.assert_array_equal(idx_m, ref_idx)
+    np.testing.assert_allclose(vals_m, vals_s, rtol=1e-5, atol=1e-6)
+
+    # pre-padded index + n_valid (the api.py cached-index calling pattern)
+    pad = 256 - 203
+    q8p = np.pad(q8, ((0, pad), (0, 0)))
+    invp = np.pad(inv, (0, pad))
+    idx_p, _ = cosine_topk_int8(q, q8p, invp, k=7, chunk=32,
+                                rescore_vectors=x, mesh=mesh, n_valid=203)
+    np.testing.assert_array_equal(idx_p, ref_idx)
