@@ -158,6 +158,17 @@ def main():
 
     cfg = getattr(CLIPConfig, arch)()
     params = jclip.init_params(jax.random.PRNGKey(0), cfg)
+    if "--quantize" in sys.argv:  # w8a8: L/14 1,204 img/s b32 (PERF.md r4)
+        assert sys.argv[sys.argv.index("--quantize") + 1] == "w8a8"
+        from plip_tpu.ops.quant import quantize_block_linears
+
+        params = {**params,
+                  "visual": {**params["visual"],
+                             "blocks": quantize_block_linears(
+                                 params["visual"]["blocks"])}}
+        if "--batch" not in sys.argv and arch == "vit_l14":
+            batch = 32  # the measured W8A8 optimum (bench_l14_int8_r4.py)
+        arch = f"{arch}_w8a8"
 
     # The axon platform defers execution until a host fetch, so we chain all
     # iterations inside ONE jit (each step's input depends on the previous
