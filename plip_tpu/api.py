@@ -115,9 +115,10 @@ class PLIP:
                     "width (PERF.md); keeping the bf16 path."
                 )
             else:
-                # Quantize the VISUAL blocks only: the measured +14% is the
-                # image tower (S=257, composed path, wide matmuls). The L/14
-                # text tower (S=77, width 768) is fused-sublayer eligible —
+                # Quantize the VISUAL blocks only: the measured win is the
+                # image tower (r4, on the pipelined core: L/14 +33% at b32,
+                # @336 +15% at b16; wide composed matmuls). The L/14 text
+                # tower (S=77, width 768) is fused-sublayer eligible —
                 # quantizing it would kick encode_text onto composed W8A8,
                 # an unmeasured path, for ~no FLOP share. ops/quant.py.
                 from .ops.quant import quantize_block_linears
