@@ -62,8 +62,9 @@ def main():
 
     # text->tile retrieval over the slide's own index: which tiles best
     # match each prompt. Device streaming top-k (forced — the auto gate
-    # would pick host at this N; same indices either way).
-    model.image_vectors = emb
+    # would pick host at this N; same indices either way). --bench also
+    # exercises the int8 device index (4x less HBM; exact host rescore).
+    model.set_image_index(emb, quantize="int8" if bench else False)
     k = min(5, len(emb))
     backend = "device" if bench else "auto"
     top = model.retrieval(prompts, top_k=k, backend=backend)

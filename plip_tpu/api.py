@@ -405,6 +405,23 @@ class PLIP:
         self._index_quantize = "int8" if quantize is True else quantize
         return self.image_vectors
 
+    def set_image_index(self, vectors, quantize: "bool | str" = False):
+        """Install PRECOMPUTED embeddings as the retrieval corpus.
+
+        Equivalent to assigning ``image_vectors`` (the reference's implicit
+        pattern behind plip.py:114) but explicit, and the only public way to
+        request an int8 device index (see ``build_image_index``) for a
+        corpus embedded elsewhere — e.g. ``data.wsi.embed_wsi`` tiles or a
+        cache-loaded embedding matrix.
+        """
+        if quantize not in (False, True, "int8"):
+            raise ValueError(
+                f"unknown quantize {quantize!r} (expected False or 'int8')"
+            )
+        self.image_vectors = vectors
+        self._index_quantize = "int8" if quantize is True else quantize
+        return self.image_vectors
+
     def retrieval(
         self, queries: List[str], top_k: int = 10, backend: str = "auto"
     ) -> np.ndarray:

@@ -272,3 +272,19 @@ def test_int8_mesh_matches_single_and_host():
     idx_p, _ = cosine_topk_int8(q, q8p, invp, k=7, chunk=32,
                                 rescore_vectors=x, mesh=mesh, n_valid=203)
     np.testing.assert_array_equal(idx_p, ref_idx)
+
+
+def test_set_image_index_precomputed(tmp_path):
+    """set_image_index installs precomputed embeddings (the WSI flow) and
+    honors quantize='int8'; device ranking equals the host backend."""
+    from plip_tpu.api import PLIP
+
+    m = PLIP("random:ViT-B/32")
+    rng = np.random.default_rng(6)
+    emb = rng.standard_normal((40, m.cfg.embed_dim)).astype(np.float32)
+    m.set_image_index(emb, quantize="int8")
+    host = m.retrieval(["tumor"], top_k=5, backend="host")
+    dev = m.retrieval(["tumor"], top_k=5, backend="device")
+    np.testing.assert_array_equal(np.asarray(host), np.asarray(dev))
+    with pytest.raises(ValueError, match="unknown quantize"):
+        m.set_image_index(emb, quantize="fp8")
