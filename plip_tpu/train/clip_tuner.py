@@ -150,12 +150,14 @@ class CLIPTuner:
         num_workers: int = 4,
         start_time: Optional[str] = None,
         resume_from: Optional[str] = None,
-        save_full_state: bool = False,
+        save_full_state: "bool | str" = False,
     ) -> str:
         """Train loop. ``resume_from`` restarts bit-exactly from a checkpoint
-        written with ``save_full_state=True`` (params + optimizer + step —
-        capability the reference lacks; its torch.save keeps weights only,
-        training_model/clip.py:221-222)."""
+        written with ``save_full_state=True`` (gathered npz) or ``"orbax"``
+        (sharded per-process writes, the multi-host production path —
+        resume_from detects the orbax directory) — params + optimizer +
+        step, capability the reference lacks; its torch.save keeps weights
+        only (training_model/clip.py:221-222)."""
         start_time = start_time or str(datetime.now())
         cfg = self.cfg
 
@@ -181,9 +183,16 @@ class CLIPTuner:
 
         def fresh_state():
             if resume_from:
-                from .contrastive import load_train_state
+                import os as _os
 
-                state, _ = load_train_state(resume_from, opt)
+                if _os.path.isdir(resume_from):  # orbax checkpoint dir
+                    from .contrastive import load_train_state_orbax
+
+                    state, _ = load_train_state_orbax(resume_from, opt)
+                else:
+                    from .contrastive import load_train_state
+
+                    state, _ = load_train_state(resume_from, opt)
                 if self.mesh is not None:
                     from ..parallel.mesh import shard_params
 
@@ -313,7 +322,14 @@ class CLIPTuner:
                 f"[Validation - final] epoch: {epoch}, total loss: {vloss}"
             )
             ckpt_path = f"{save_directory}/epoch_{epoch}_{start_time}_model.npz"
-            if save_full_state:
+            if save_full_state == "orbax":
+                # production multi-host path: per-process shard writes, no
+                # host gather (contrastive.save_train_state_orbax)
+                from .contrastive import save_train_state_orbax
+
+                save_train_state_orbax(
+                    ckpt_path.replace(".npz", ".orbax"), self.state, cfg)
+            elif save_full_state:
                 from .contrastive import save_train_state
 
                 save_train_state(ckpt_path, self.state, cfg)  # process-0 write

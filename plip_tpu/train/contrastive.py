@@ -306,6 +306,135 @@ def load_train_state(
     return TrainState(params=params, opt_state=opt_state, step=step), cfg
 
 
+def save_train_state_orbax(
+    path: str, state: TrainState, cfg: CLIPConfig
+) -> None:
+    """Full-state checkpoint via orbax — the PRODUCTION multi-host path.
+
+    Unlike ``save_train_state`` (gather-everything-to-process-0 npz, fine
+    single-host), orbax writes each process's shards directly from device:
+    no host-side materialization of the global 3×-params state (15 GB at
+    ViT-L/14 fp32), atomic tmp-dir + rename, and sharding metadata recorded
+    so ``load_train_state_orbax`` can restore onto the SAME topology (or a
+    caller-provided target sharding). The model config rides along as a
+    JSON sidecar in the checkpoint directory (same encoding as the npz
+    format — utils.checkpoint.cfg_to_json).
+
+    Capability the reference lacks entirely (its torch.save keeps weights
+    only, training_model/clip.py:221-222).
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from ..utils.checkpoint import cfg_to_json
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        ckptr.save(
+            path,
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": state.step},
+            force=True,
+        )
+        ckptr.wait_until_finished()
+    finally:
+        ckptr.close()
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "clip_config.json"), "w") as f:
+            f.write(cfg_to_json(cfg))
+
+
+def load_train_state_orbax(
+    path: str,
+    optimizer: optax.GradientTransformation,
+    params_like: "Params | None" = None,
+) -> Tuple[TrainState, "CLIPConfig"]:
+    """Resume from ``save_train_state_orbax``. The optimizer must be
+    constructed identically (same schedule/hparams) — the restore target's
+    treedef comes from a fresh ``optimizer.init``.
+
+    ``params_like``: optional pytree of (possibly sharded) arrays or
+    ShapeDtypeStructs defining the restore placement — pass mesh-sharded
+    params (e.g. from ``parallel.mesh.shard_params`` over an abstract init)
+    to restore each shard straight to its device. Default: placement from
+    the checkpoint's recorded shardings (same-topology resume).
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from ..utils.checkpoint import cfg_from_json
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "clip_config.json")) as f:
+        cfg = cfg_from_json(f.read())
+
+    import numpy as np
+
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        concrete_like = params_like is not None and all(
+            isinstance(x, jax.Array) for x in jax.tree.leaves(params_like)
+        )
+        if params_like is None:
+            # placement from the checkpoint's recorded shardings; shapes/
+            # dtypes from its metadata (the optax namedtuple structure
+            # would not survive a target-less restore, so a full target is
+            # always built)
+            meta = ckptr.metadata(path).item_metadata
+            abstract = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype),
+                meta["params"],
+            )
+            opt_abstract = jax.eval_shape(optimizer.init, abstract)
+        else:
+            abstract = jax.tree.map(
+                ocp.utils.to_shape_dtype_struct, params_like)
+            # concrete (sharded) params: init the optimizer on them so the
+            # moment zeros inherit each param's placement — the restore
+            # target then carries those shardings. Transient allocation,
+            # same size as the state being restored.
+            opt_abstract = jax.tree.map(
+                ocp.utils.to_shape_dtype_struct,
+                optimizer.init(params_like) if concrete_like
+                else jax.eval_shape(optimizer.init, params_like),
+            )
+        tgt = {
+            "params": abstract,
+            "opt_state": opt_abstract,
+            "step": jax.ShapeDtypeStruct((), jnp.int32),
+        }
+        out = ckptr.restore(path, target=tgt)
+    finally:
+        ckptr.close()
+    if concrete_like:
+        # optimizer scalars (e.g. adam's count) are not derived from any
+        # param, so their restore placement is single-device — replicate
+        # them over the params' mesh or jit trips its device check
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh_sh = next(
+            (x.sharding for x in jax.tree.leaves(params_like)
+             if isinstance(getattr(x, "sharding", None), NamedSharding)),
+            None,
+        )
+        if mesh_sh is not None:
+            rep = NamedSharding(mesh_sh.mesh, PartitionSpec())
+            out["opt_state"] = jax.tree.map(
+                lambda x: jax.device_put(x, rep) if x.ndim == 0 else x,
+                out["opt_state"],
+            )
+    # step as a fresh UNCOMMITTED scalar: a committed single-device scalar
+    # next to 8-device-sharded params trips jit's device check
+    return (
+        TrainState(params=out["params"], opt_state=out["opt_state"],
+                   step=jnp.asarray(np.asarray(out["step"]))),
+        cfg,
+    )
+
+
 def make_train_step(
     cfg: CLIPConfig,
     optimizer: optax.GradientTransformation,

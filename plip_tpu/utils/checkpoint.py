@@ -375,11 +375,9 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Params:
     return tree
 
 
-def save_checkpoint(path: str, params: Params, cfg: CLIPConfig) -> None:
-    parent = os.path.dirname(os.path.abspath(path))
-    os.makedirs(parent, exist_ok=True)
-    flat = _flatten(jax.tree.map(lambda x: np.asarray(x), params))
-    cfg_json = json.dumps(
+def cfg_to_json(cfg: CLIPConfig) -> str:
+    """CLIPConfig -> canonical JSON (shared by the npz and orbax formats)."""
+    return json.dumps(
         {
             "vision": dataclasses.asdict(cfg.vision),
             "text": dataclasses.asdict(cfg.text),
@@ -389,13 +387,11 @@ def save_checkpoint(path: str, params: Params, cfg: CLIPConfig) -> None:
             "ln_eps": cfg.ln_eps,
         }
     )
-    np.savez(path, __config__=np.frombuffer(cfg_json.encode(), dtype=np.uint8), **flat)
 
 
-def load_checkpoint(path: str) -> Tuple[Params, CLIPConfig]:
-    data = np.load(path, allow_pickle=False)
-    cfg_json = json.loads(bytes(data["__config__"]).decode())
-    cfg = CLIPConfig(
+def cfg_from_json(s: str) -> CLIPConfig:
+    cfg_json = json.loads(s)
+    return CLIPConfig(
         vision=VisionConfig(**cfg_json["vision"]),
         text=TextConfig(**cfg_json["text"]),
         embed_dim=cfg_json["embed_dim"],
@@ -403,5 +399,18 @@ def load_checkpoint(path: str) -> Tuple[Params, CLIPConfig]:
         logit_scale_max=cfg_json["logit_scale_max"],
         ln_eps=cfg_json["ln_eps"],
     )
+
+
+def save_checkpoint(path: str, params: Params, cfg: CLIPConfig) -> None:
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    flat = _flatten(jax.tree.map(lambda x: np.asarray(x), params))
+    cfg_json = cfg_to_json(cfg)
+    np.savez(path, __config__=np.frombuffer(cfg_json.encode(), dtype=np.uint8), **flat)
+
+
+def load_checkpoint(path: str) -> Tuple[Params, CLIPConfig]:
+    data = np.load(path, allow_pickle=False)
+    cfg = cfg_from_json(bytes(data["__config__"]).decode())
     flat = {k: data[k] for k in data.files if k != "__config__"}
     return _unflatten(flat), cfg
