@@ -159,15 +159,18 @@ def main():
     cfg = getattr(CLIPConfig, arch)()
     params = jclip.init_params(jax.random.PRNGKey(0), cfg)
     if "--quantize" in sys.argv:  # w8a8: L/14 1,204 img/s b32 (PERF.md r4)
-        assert sys.argv[sys.argv.index("--quantize") + 1] == "w8a8"
+        qi = sys.argv.index("--quantize")
+        if qi + 1 >= len(sys.argv) or sys.argv[qi + 1] != "w8a8":
+            raise ValueError("--quantize takes exactly one value: 'w8a8'")
         from plip_tpu.ops.quant import quantize_block_linears
 
         params = {**params,
                   "visual": {**params["visual"],
                              "blocks": quantize_block_linears(
                                  params["visual"]["blocks"])}}
-        if "--batch" not in sys.argv and arch == "vit_l14":
-            batch = 32  # the measured W8A8 optimum (bench_l14_int8_r4.py)
+        if "--batch" not in sys.argv:
+            # measured W8A8 optima (bench_l14_int8_r4.py + @336 sweep)
+            batch = {"vit_l14": 32, "vit_l14_336": 16}.get(arch, batch)
         arch = f"{arch}_w8a8"
 
     # The axon platform defers execution until a host fetch, so we chain all

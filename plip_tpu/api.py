@@ -397,13 +397,9 @@ class PLIP:
         Only the device backend is affected; the host backend always uses
         the exact fp32 vectors.
         """
-        if quantize not in (False, True, "int8"):
-            raise ValueError(
-                f"unknown quantize {quantize!r} (expected False or 'int8')"
-            )
-        self.image_vectors = self.encode_images(images, batch_size=batch_size)
-        self._index_quantize = "int8" if quantize is True else quantize
-        return self.image_vectors
+        return self.set_image_index(
+            self.encode_images(images, batch_size=batch_size), quantize
+        )
 
     def set_image_index(self, vectors, quantize: "bool | str" = False):
         """Install PRECOMPUTED embeddings as the retrieval corpus.
@@ -484,7 +480,14 @@ class PLIP:
             # near-HBM-capacity indexes int8 enables, a per-call 2× copy
             # could itself OOM
             chunk = 8192
-            pad = (-(-n // min(chunk, n)) * min(chunk, n)) - n
+            if quant and self.mesh is not None:
+                # the dp-mesh stream pads per shard — pre-pad to its unit
+                # so no per-call index copy is made (ops.retrieval)
+                from .ops.retrieval import mesh_pad_rows
+
+                pad = mesh_pad_rows(n, self.mesh.shape["dp"], chunk) - n
+            else:
+                pad = (-(-n // min(chunk, n)) * min(chunk, n)) - n
             key = (id(self.image_vectors), n, quant)
             if getattr(self, "_device_index_key", None) != key:
                 if quant:

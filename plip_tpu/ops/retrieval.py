@@ -32,6 +32,18 @@ import jax
 import jax.numpy as jnp
 
 
+def _mark_varying(tree, vary_axis: "str | None"):
+    """Mark a shard_map-local scan carry as varying over ``vary_axis``
+    (jax >= 0.8 spells this pcast(to="varying"); older jax had pvary)."""
+    if vary_axis is None:
+        return tree
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        return pcast(tree, (vary_axis,), to="varying")
+    return jax.tree.map(  # pragma: no cover — older jax
+        lambda a: jax.lax.pvary(a, (vary_axis,)), tree)
+
+
 def _merge_candidates(best_v, best_i, scores, row_ids, k: int, merge: str):
     """Fold a chunk's [Q, chunk] scores into the running [Q, k] best.
 
@@ -71,18 +83,13 @@ def _chunk_topk_scan(queries, index, k: int, chunk: int, n_valid,
     n_chunks = index.shape[0] // chunk
     chunks = index.reshape(n_chunks, chunk, index.shape[1])
 
-    init = (
-        jnp.full((Q, k), -jnp.inf, jnp.float32),
-        jnp.full((Q, k), -1, jnp.int32),
+    init = _mark_varying(
+        (
+            jnp.full((Q, k), -jnp.inf, jnp.float32),
+            jnp.full((Q, k), -1, jnp.int32),
+        ),
+        vary_axis,
     )
-    if vary_axis is not None:
-        # jax >= 0.8 spells this pcast(to="varying"); older jax had pvary
-        pcast = getattr(jax.lax, "pcast", None)
-        if pcast is not None:
-            init = pcast(init, (vary_axis,), to="varying")
-        else:  # pragma: no cover — older jax
-            init = jax.tree.map(
-                lambda a: jax.lax.pvary(a, (vary_axis,)), init)
 
     def body(carry, xs):
         best_v, best_i = carry
@@ -200,17 +207,13 @@ def _chunk_topk_scan_int8(q_i8, q_inv, chunks_i8, row_inv, k, chunk, n_valid,
     int8 path (int32 accumulation), dequantized to fp32 scores by the per-
     query and per-row inverse scales before the carry merge."""
     Q = q_i8.shape[0]
-    init = (
-        jnp.full((Q, k), -jnp.inf, jnp.float32),
-        jnp.full((Q, k), -1, jnp.int32),
+    init = _mark_varying(
+        (
+            jnp.full((Q, k), -jnp.inf, jnp.float32),
+            jnp.full((Q, k), -1, jnp.int32),
+        ),
+        vary_axis,
     )
-    if vary_axis is not None:  # see _chunk_topk_scan
-        pcast = getattr(jax.lax, "pcast", None)
-        if pcast is not None:
-            init = pcast(init, (vary_axis,), to="varying")
-        else:  # pragma: no cover — older jax
-            init = jax.tree.map(
-                lambda a: jax.lax.pvary(a, (vary_axis,)), init)
 
     def body(carry, xs):
         best_v, best_i = carry
@@ -354,13 +357,21 @@ def cosine_topk_int8(
     )
 
 
-def _int8_mesh_candidates(q_i8, q_inv, index_i8, row_inv, m: int, chunk: int,
-                          mesh, merge: str, n: int):
-    """dp-sharded int8 candidate stream: per-shard `_chunk_topk_scan_int8`,
-    ICI all-gather of [Q, dp·m] candidates, global top-m. Returns host
-    (indices, values) of the m best quantized candidates (rows ≥ n masked).
-    Mirrors `_cosine_topk_mesh`; the caller rescores if it wants exactness.
-    """
+def mesh_pad_rows(n: int, dp: int, chunk: int = 8192) -> int:
+    """Row count to pre-pad a dp-mesh index to so the mesh stream makes no
+    per-call pad copy (shard_pad·dp for the default chunking). The api
+    layer pads its cached device index with this."""
+    shard = -(-n // dp)
+    c = max(1, min(chunk, shard))
+    return -(-shard // c) * c * dp
+
+
+@functools.lru_cache(maxsize=64)
+def _mesh_int8_jit(mesh, m: int, chunk: int, shard_pad: int, merge: str):
+    """Compiled dp-sharded int8 candidate stream (cached per static config:
+    a per-call shard_map+jit would retrace every retrieval — ~40 s through
+    the axon tunnel). The corpus row count is a TRACED scalar so growing
+    indexes of the same padded length reuse the executable."""
     from jax.sharding import PartitionSpec as P
 
     try:
@@ -368,6 +379,37 @@ def _int8_mesh_candidates(q_i8, q_inv, index_i8, row_inv, m: int, chunk: int,
     except ImportError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map
 
+    def local(qs, qv, xs, iv, n_arr):
+        ax = jax.lax.axis_index("dp")
+        real = jnp.clip(n_arr - ax * shard_pad, 0, shard_pad)
+        vals, idxs = _chunk_topk_scan_int8(
+            qs, qv, xs, iv, m, chunk, n_valid=real, merge=merge,
+            vary_axis="dp")
+        gids = ax * shard_pad + idxs
+        vals = jnp.where(gids < n_arr, vals, -jnp.inf)
+        cv = jax.lax.all_gather(vals, "dp", axis=1, tiled=True)  # [Q, dp*m]
+        ci = jax.lax.all_gather(gids, "dp", axis=1, tiled=True)
+        best_v, sel = jax.lax.top_k(cv, m)
+        return best_v, jnp.take_along_axis(ci, sel, axis=1)
+
+    specs = dict(in_specs=(P(), P(), P("dp", None), P("dp"), P()),
+                 out_specs=(P(), P()))
+    try:
+        fn = shard_map(local, mesh=mesh, check_vma=False, **specs)
+    except TypeError:  # pragma: no cover — older jax
+        fn = shard_map(local, mesh=mesh, check_rep=False, **specs)
+    return jax.jit(fn)
+
+
+def _int8_mesh_candidates(q_i8, q_inv, index_i8, row_inv, m: int, chunk: int,
+                          mesh, merge: str, n: int):
+    """dp-sharded int8 candidate stream: per-shard `_chunk_topk_scan_int8`,
+    ICI all-gather of [Q, dp·m] candidates, global top-m. Returns host
+    (indices, values) of the m best quantized candidates (rows ≥ n masked).
+    Mirrors `_cosine_topk_mesh`; the caller rescores if it wants exactness.
+    Pre-pad the index to ``mesh_pad_rows(n, dp)`` rows to avoid the
+    per-call pad copy of a non-multiple corpus.
+    """
     dp = mesh.shape["dp"]
     rows = index_i8.shape[0]
     shard = -(-rows // dp)
@@ -382,32 +424,24 @@ def _int8_mesh_candidates(q_i8, q_inv, index_i8, row_inv, m: int, chunk: int,
         xi = jnp.pad(xi, ((0, n_pad - rows), (0, 0)))
         ri = jnp.pad(ri, (0, n_pad - rows))
 
-    def local(qs, qv, xs, iv):
-        ax = jax.lax.axis_index("dp")
-        real = jnp.clip(n - ax * shard_pad, 0, shard_pad)
-        vals, idxs = _chunk_topk_scan_int8(
-            qs, qv, xs, iv, m, chunk, n_valid=real, merge=merge,
-            vary_axis="dp")
-        gids = ax * shard_pad + idxs
-        vals = jnp.where(gids < n, vals, -jnp.inf)
-        cv = jax.lax.all_gather(vals, "dp", axis=1, tiled=True)  # [Q, dp*m]
-        ci = jax.lax.all_gather(gids, "dp", axis=1, tiled=True)
-        best_v, sel = jax.lax.top_k(cv, m)
-        return best_v, jnp.take_along_axis(ci, sel, axis=1)
-
-    specs = dict(in_specs=(P(), P(), P("dp", None), P("dp")),
-                 out_specs=(P(), P()))
-    try:
-        fn = shard_map(local, mesh=mesh, check_vma=False, **specs)
-    except TypeError:  # pragma: no cover — older jax
-        fn = shard_map(local, mesh=mesh, check_rep=False, **specs)
-    vals, idxs = jax.jit(fn)(q_i8, q_inv, xi, ri)
+    fn = _mesh_int8_jit(mesh, m, chunk, shard_pad, merge)
+    vals, idxs = fn(q_i8, q_inv, xi, ri, jnp.int32(n))
     return np.asarray(idxs).astype(np.int32), np.asarray(vals)
 
 
-def _cosine_topk_mesh(q, x, k: int, chunk: int, mesh, merge: str = "exact"):
-    """Index rows sharded over the mesh's dp axis; per-shard streaming
-    top-k, then an all-gather of [Q, k] candidates and a final top-k."""
+@functools.lru_cache(maxsize=64)
+def _mesh_f32_jit(mesh, k: int, chunk: int, shard_pad: int, merge: str):
+    """Compiled dp-sharded fp32 stream, cached per static config (see
+    `_mesh_int8_jit` — per-call retraces cost ~40 s on tunneled rigs).
+
+    Inside `local`: xs is this device's [shard_pad, D] rows; global ids are
+    recovered from the shard offset so the final merge returns corpus
+    indices. Pad rows (zero vectors, score 0) are masked INSIDE the local
+    stream — ranked at 0 they could displace real negative-score candidates
+    from the local top-k before the global merge. Every device holds the
+    identical merged result after the all_gather + final top_k, but the
+    varying-axis checker can't infer that — the replication check is
+    disabled (check_vma on jax >= 0.8, check_rep before)."""
     from jax.sharding import PartitionSpec as P
 
     try:
@@ -415,6 +449,29 @@ def _cosine_topk_mesh(q, x, k: int, chunk: int, mesh, merge: str = "exact"):
     except ImportError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map
 
+    def local(qs, xs, n_arr):
+        ax = jax.lax.axis_index("dp")
+        real = jnp.clip(n_arr - ax * shard_pad, 0, shard_pad)
+        vals, idxs = _chunk_topk_scan(qs, xs, k, chunk, n_valid=real,
+                                      vary_axis="dp", merge=merge)
+        gids = ax * shard_pad + idxs
+        vals = jnp.where(gids < n_arr, vals, -jnp.inf)  # belt-and-braces
+        cv = jax.lax.all_gather(vals, "dp", axis=1, tiled=True)  # [Q, dp*k]
+        ci = jax.lax.all_gather(gids, "dp", axis=1, tiled=True)
+        best_v, sel = jax.lax.top_k(cv, k)
+        return best_v, jnp.take_along_axis(ci, sel, axis=1)
+
+    specs = dict(in_specs=(P(), P("dp", None), P()), out_specs=(P(), P()))
+    try:
+        fn = shard_map(local, mesh=mesh, check_vma=False, **specs)
+    except TypeError:  # pragma: no cover — older jax
+        fn = shard_map(local, mesh=mesh, check_rep=False, **specs)
+    return jax.jit(fn)
+
+
+def _cosine_topk_mesh(q, x, k: int, chunk: int, mesh, merge: str = "exact"):
+    """Index rows sharded over the mesh's dp axis; per-shard streaming
+    top-k, then an all-gather of [Q, k] candidates and a final top-k."""
     n = x.shape[0]
     dp = mesh.shape["dp"]
     shard = -(-n // dp)
@@ -426,35 +483,6 @@ def _cosine_topk_mesh(q, x, k: int, chunk: int, mesh, merge: str = "exact"):
     if n_pad != n:
         x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
 
-    def local(qs, xs):
-        # xs: this device's [shard_pad, D] rows; global ids recovered from
-        # the shard offset so the final merge returns corpus indices. Pad
-        # rows (zero vectors, score 0) must be masked INSIDE the local
-        # stream — ranked at 0 they could displace real negative-score
-        # candidates from the local top-k before the global merge.
-        ax = jax.lax.axis_index("dp")
-        real = jnp.clip(n - ax * shard_pad, 0, shard_pad)
-        vals, idxs = _chunk_topk_scan(qs, xs, k, chunk, n_valid=real,
-                                      vary_axis="dp", merge=merge)
-        gids = ax * shard_pad + idxs
-        vals = jnp.where(gids < n, vals, -jnp.inf)  # belt-and-braces
-        cv = jax.lax.all_gather(vals, "dp", axis=1, tiled=True)  # [Q, dp*k]
-        ci = jax.lax.all_gather(gids, "dp", axis=1, tiled=True)
-        best_v, sel = jax.lax.top_k(cv, k)
-        return best_v, jnp.take_along_axis(ci, sel, axis=1)
-
-    # every device holds the identical merged result after the all_gather +
-    # final top_k, but the varying-axis checker can't infer that — disable
-    # the replication check (check_vma on jax >= 0.8, check_rep before)
-    try:
-        fn = shard_map(
-            local, mesh=mesh, in_specs=(P(), P("dp", None)),
-            out_specs=(P(), P()), check_vma=False,
-        )
-    except TypeError:  # pragma: no cover — older jax
-        fn = shard_map(
-            local, mesh=mesh, in_specs=(P(), P("dp", None)),
-            out_specs=(P(), P()), check_rep=False,
-        )
-    vals, idxs = jax.jit(fn)(q, x)
+    fn = _mesh_f32_jit(mesh, k, chunk, shard_pad, merge)
+    vals, idxs = fn(q, x, jnp.int32(n))
     return np.asarray(idxs).astype(np.int32), np.asarray(vals)

@@ -188,11 +188,25 @@ class CLIPTuner:
                 if _os.path.isdir(resume_from):  # orbax checkpoint dir
                     from .contrastive import load_train_state_orbax
 
-                    state, _ = load_train_state_orbax(resume_from, opt)
-                else:
-                    from .contrastive import load_train_state
+                    like = None
+                    if self.mesh is not None:
+                        # restore each shard straight to its device: a
+                        # target-less restore would land the whole state
+                        # committed on one device (params resharded after,
+                        # but the opt moments would trip jit's device
+                        # check — and the one-device landing defeats the
+                        # no-host-gather point at L/14 scale)
+                        from ..parallel.mesh import shard_params
 
-                    state, _ = load_train_state(resume_from, opt)
+                        like = shard_params(
+                            jax.tree.map(jnp.asarray, self.params), self.mesh
+                        )
+                    state, _ = load_train_state_orbax(
+                        resume_from, opt, params_like=like)
+                    return state  # placement handled by the restore
+                from .contrastive import load_train_state
+
+                state, _ = load_train_state(resume_from, opt)
                 if self.mesh is not None:
                     from ..parallel.mesh import shard_params
 
@@ -343,7 +357,10 @@ class CLIPTuner:
                     save_checkpoint(ckpt_path, host_params, cfg)
 
         self.params = self.state.params
-        return f"_{start_time}_model.npz"
+        # the returned suffix composes with "epoch_{e}" to name what was
+        # actually written (reference contract, clip.py:221-226)
+        ext = "orbax" if save_full_state == "orbax" else "npz"
+        return f"_{start_time}_model.{ext}"
 
 
 # ---------------------------------------------------------------------------

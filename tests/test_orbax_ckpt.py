@@ -158,3 +158,59 @@ def test_clip_tuner_orbax_save_and_resume(tmp_path):
              epochs=1, evaluation_steps=0, num_workers=2, start_time="ob2",
              resume_from=ckdir)
     assert int(t2.state.step) == 2 + 2  # 2 steps/epoch resumed + 2 more
+
+
+def test_clip_tuner_orbax_resume_on_mesh(tmp_path):
+    """Regression: resume_from=<orbax dir> with a dp×tp mesh must restore
+    sharded (a target-less restore landed the opt state committed on one
+    device and the first train step tripped jit's device check)."""
+    import os
+    from types import SimpleNamespace
+
+    import pandas as pd
+    from PIL import Image
+
+    from plip_tpu.models.config import TextConfig, VisionConfig
+    from plip_tpu.parallel.mesh import create_mesh
+    from plip_tpu.train.clip_tuner import CLIPTuner
+    from plip_tpu.utils.checkpoint import save_checkpoint
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    cfg = CLIPConfig(
+        vision=VisionConfig(width=128, layers=2, heads=2, image_size=224,
+                            patch_size=32),
+        text=TextConfig(width=128, layers=2, heads=2, vocab_size=49408,
+                        context_length=77),
+        embed_dim=16,
+    )
+    ck = str(tmp_path / "tiny.npz")
+    save_checkpoint(ck, jclip.init_params(jax.random.PRNGKey(3), cfg), cfg)
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(8):
+        p = str(tmp_path / f"im{i}.jpg")
+        Image.fromarray(
+            rng.integers(0, 256, (240, 260, 3), np.uint8)).save(p)
+        paths.append(p)
+    df = pd.DataFrame({"image": paths,
+                       "caption": [f"an H&E image {i}" for i in range(8)]})
+    args = SimpleNamespace(first_resize=256, pxsize=224, optimizer="AdamW")
+    mesh = create_mesh(dp=4, tp=2)
+
+    t = CLIPTuner(args=args, backbone=ck, lr=1e-4, warmup=2, mesh=mesh)
+    suffix = t.tuner(df, df.iloc[:4], save_directory=str(tmp_path),
+                     batch_size=4, epochs=1, evaluation_steps=0,
+                     num_workers=2, start_time="mo",
+                     save_full_state="orbax")
+    assert suffix == "_mo_model.orbax"  # names what was actually written
+    ckdir = os.path.join(str(tmp_path), f"epoch_0{suffix}")
+    assert os.path.isdir(ckdir)
+
+    t2 = CLIPTuner(args=args, backbone=ck, lr=1e-4, warmup=2, mesh=mesh)
+    t2.tuner(df, df.iloc[:4], save_directory=str(tmp_path), batch_size=4,
+             epochs=1, evaluation_steps=0, num_workers=2, start_time="mo2",
+             resume_from=ckdir)
+    assert int(t2.state.step) == 4
+    fc1 = t2.state.params["visual"]["blocks"]["mlp"]["fc1"]["kernel"]
+    assert "tp" in str(fc1.sharding.spec)
