@@ -27,6 +27,21 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _reset_compile_cache_config():
+    """No test may leak persistent-compile-cache config into later tests.
+
+    The round-4 full-suite SIGABRT was exactly such a leak:
+    test_compile_cache enabled jax_compilation_cache_dir globally and the
+    mesh-orbax-resume test later aborted inside XLA:CPU's AOT executable
+    deserialization (see plip_tpu/utils/compile_cache.py docstring).
+    """
+    yield
+    from plip_tpu.utils.compile_cache import disable_compile_cache
+
+    disable_compile_cache()
+
+
 @pytest.fixture(scope="session")
 def tokenizer():
     from plip_tpu.tokenizer import synthetic_vocab

@@ -160,10 +160,16 @@ def test_clip_tuner_orbax_save_and_resume(tmp_path):
     assert int(t2.state.step) == 2 + 2  # 2 steps/epoch resumed + 2 more
 
 
-def test_clip_tuner_orbax_resume_on_mesh(tmp_path):
+def test_clip_tuner_orbax_resume_on_mesh(tmp_path, monkeypatch):
     """Regression: resume_from=<orbax dir> with a dp×tp mesh must restore
     sharded (a target-less restore landed the opt state committed on one
-    device and the first train step tripped jit's device check)."""
+    device and the first train step tripped jit's device check).
+
+    Round 5: also runs under the documented production env
+    PLIP_TPU_COMPILE_CACHE=<fresh dir> — this exact combination used to
+    SIGABRT the process (XLA:CPU persistent-cache AOT deserialization of
+    the re-traced mesh train step; see utils/compile_cache.py). The cpu
+    gate must keep it alive."""
     import os
     from types import SimpleNamespace
 
@@ -174,9 +180,12 @@ def test_clip_tuner_orbax_resume_on_mesh(tmp_path):
     from plip_tpu.parallel.mesh import create_mesh
     from plip_tpu.train.clip_tuner import CLIPTuner
     from plip_tpu.utils.checkpoint import save_checkpoint
+    from plip_tpu.utils.compile_cache import enable_from_env
 
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device CPU mesh")
+    monkeypatch.setenv("PLIP_TPU_COMPILE_CACHE", str(tmp_path / "jaxcc"))
+    enable_from_env()
     cfg = CLIPConfig(
         vision=VisionConfig(width=128, layers=2, heads=2, image_size=224,
                             patch_size=32),
