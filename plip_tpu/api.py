@@ -97,7 +97,7 @@ class PLIP:
         self.dtype = dtype
         self.params, self.cfg = self._load_model(model_name)
         self.tokenizer = tokenizer if tokenizer is not None else default_tokenizer()
-        self.image_vectors: Optional[np.ndarray] = None
+        self.image_vectors = None  # property: assignment resets _index_quantize
         self.mesh = mesh
         if mesh is not None:
             # multi-chip inference: params replicated/tp-sharded per the
@@ -169,12 +169,29 @@ class PLIP:
         cfg = CLIPConfig.vit_b32()
         return jclip.init_params(jax.random.PRNGKey(0), cfg), cfg
 
-    def save(self, path: str) -> str:
-        """Write the model to the native ``.npz`` checkpoint format."""
-        from .utils.checkpoint import save_checkpoint
+    def save(self, path: str, format: str = "npz") -> str:
+        """Write the model checkpoint.
 
-        save_checkpoint(path, jax.device_get(self.params), self.cfg)
-        return path
+        format="npz" (default): the native flat-npz format.
+        format="openai": ``torch.save`` of an OpenAI ``clip`` state_dict —
+        the artifact the reference's trainer publishes and its eval harness
+        consumes (`/root/reference/reproducibility/embedders/factory.py:21-26`,
+        `training_model/clip.py:221-222`), so TPU-tuned weights round-trip
+        back into the reference ecosystem.
+        format="hf": ``torch.save`` of an HF ``CLIPModel`` state_dict
+        (loads via ``CLIPModel.load_state_dict``, the `vinid/plip` publishing
+        layout of `/root/reference/plip.py:26-27`).
+        """
+        if format == "npz":
+            from .utils.checkpoint import save_checkpoint
+
+            save_checkpoint(path, jax.device_get(self.params), self.cfg)
+            return path
+        if format in ("openai", "hf"):
+            from .utils.checkpoint import save_torch_checkpoint
+
+            return save_torch_checkpoint(path, self.params, self.cfg, naming=format)
+        raise ValueError(f"format must be 'npz', 'openai' or 'hf', got {format!r}")
 
     # ------------------------------------------------------------------
     # Encoding
@@ -400,6 +417,20 @@ class PLIP:
         return self.set_image_index(
             self.encode_images(images, batch_size=batch_size), quantize
         )
+
+    @property
+    def image_vectors(self):
+        """The retrieval corpus (the reference's documented pattern is plain
+        attribute assignment). Assigning here RESETS any int8 device-index
+        mode from a previous ``build_image_index(..., quantize="int8")`` —
+        a directly-assigned corpus must not silently inherit the quantized
+        path (ADVICE r4). Use ``set_image_index`` to choose quantization."""
+        return self._image_vectors
+
+    @image_vectors.setter
+    def image_vectors(self, vectors):
+        self._image_vectors = vectors
+        self._index_quantize = False
 
     def set_image_index(self, vectors, quantize: "bool | str" = False):
         """Install PRECOMPUTED embeddings as the retrieval corpus.

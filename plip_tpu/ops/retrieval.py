@@ -169,6 +169,13 @@ def cosine_topk(
     if merge not in ("exact", "approx"):
         raise ValueError(f"unknown merge {merge!r}")
     if mesh is not None:
+        if n_valid is not None:
+            # the mesh path derives n from x.shape[0]; silently ranking a
+            # caller's zero pad rows as real score-0 candidates would be a
+            # correctness trap (ADVICE r4) — fail loudly instead
+            raise ValueError(
+                "n_valid is single-device only; strip padding before the "
+                "mesh path (rows shard over dp and re-pad internally)")
         return _cosine_topk_mesh(q, x, k, chunk, mesh, merge=merge)
 
     chunk = max(k, min(chunk, x.shape[0]))

@@ -46,8 +46,10 @@ text is never altered): no ``restore_byte_a0`` /
 ``replace_lossy_sequences`` / ``decode_inconsistent_utf8`` (mojibake whose
 bytes were THEMSELVES corrupted — e.g. a lost 0xA0 byte — stays broken
 rather than guessed); the badness model is the conservative acceptance rule
-in (3), so ambiguous short spans that ftfy's trained heuristics would flip
-(e.g. isolated ``"Ã"`` with no continuation char) pass through unchanged;
+in (3) plus a script guard on two-letter spans (see ``_repair_span``), so
+ambiguous short spans that ftfy's trained heuristics would flip (e.g.
+isolated ``"Ã"`` with no continuation char, or same-script pairs like
+``"Рі"``) pass through unchanged;
 ``uncurl_quotes`` follows the table (ftfy 6 is table-based too).
 """
 
@@ -143,11 +145,29 @@ def _introduces_junk(candidate: str) -> bool:
     )
 
 
+def _script(c: str) -> str:
+    try:
+        return unicodedata.name(c).split(" ", 1)[0]
+    except ValueError:
+        return ""
+
+
 def _repair_span(span: str) -> str:
     """Try each source codepage; accept the first (priority order) whose
     re-encoded bytes decode as complete valid UTF-8, shrink the non-ASCII
-    count, and introduce no junk characters."""
+    count, and introduce no junk characters.
+
+    Two-char ALL-LETTER spans are plausible real text (``"Рі"`` — Ukrainian
+    R+i — whose cp1251 bytes happen to form valid UTF-8 for ``"г"``), so
+    they repair only when the candidate is a letter of a DIFFERENT script:
+    cross-script flips like ``"Гј"`` → ``"ü"`` are overwhelmingly mojibake,
+    same-script flips (``"Рі"`` → ``"г"``) and letter→symbol flips
+    (``"Ві"`` → ``"³"``) are left alone. This is the cheap stand-in for
+    ftfy's trained badness model (ADVICE r4)."""
     n_bad = len(_NONASCII.findall(span))
+    two_letters = len(span) == 2 and all(
+        unicodedata.category(c).startswith("L") for c in span
+    )
     for _, charmap in _ENCODINGS:
         try:
             raw = bytes(charmap[c] for c in span)
@@ -156,6 +176,12 @@ def _repair_span(span: str) -> str:
         try:
             candidate = raw.decode("utf-8")
         except UnicodeDecodeError:
+            continue
+        if two_letters and not (
+            len(candidate) == 1
+            and unicodedata.category(candidate).startswith("L")
+            and _script(candidate) not in (_script(span[0]), _script(span[1]))
+        ):
             continue
         if (len(_NONASCII.findall(candidate)) < n_bad
                 and not _introduces_junk(candidate)):

@@ -290,9 +290,13 @@ class CLIPTuner:
                             float(metrics["loss"])  # force execution now
                             self.state = new_state
                             break
-                        except Exception as e:  # device OOM arrives as
-                            # ValueError or JaxRuntimeError depending on
-                            # where the fetch happens — match the message
+                        except (jax.errors.JaxRuntimeError, ValueError) as e:
+                            # device OOM arrives as ValueError or
+                            # JaxRuntimeError depending on where the fetch
+                            # happens; the type gate keeps arbitrary
+                            # exceptions that merely EMBED the OOM string
+                            # (wrapped peer/compile errors) from triggering
+                            # a silent state re-init (ADVICE r4)
                             if ("RESOURCE_EXHAUSTED" not in str(e)
                                     or jax.process_count() > 1):
                                 raise

@@ -328,6 +328,108 @@ def hf_sd_to_openai_sd(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# JAX → PyTorch export (round-5 interop: hand tuned weights BACK to the
+# reference ecosystem)
+# ---------------------------------------------------------------------------
+
+
+def to_openai_sd(params: Params, cfg: CLIPConfig) -> Dict[str, np.ndarray]:
+    """Export plip_tpu params as an OpenAI ``clip`` state_dict (numpy values).
+
+    Exact inverse of :func:`from_openai_clip`: a model fine-tuned on TPU can
+    be handed back to the reference's own eval harness, which loads tuned
+    weights via ``torch.load`` + ``load_state_dict``
+    (`/root/reference/reproducibility/embedders/factory.py:21-26`) in the
+    same layout its trainer publishes per epoch
+    (`/root/reference/reproducibility/training_model/clip.py:221-222`).
+
+    Values are float32 (the published-checkpoint dtype); round-trip
+    ``from_openai_clip(to_openai_sd(p, cfg))`` is bit-exact for fp32 params
+    (pinned in tests/test_export_torch.py).
+    """
+    p = jax.tree.map(lambda x: np.asarray(jax.device_get(x), np.float32), params)
+    W = cfg.vision.width
+    P = cfg.vision.patch_size
+    out: Dict[str, np.ndarray] = {
+        "logit_scale": p["logit_scale"].reshape(())
+    }
+
+    def put_ln(dst: str, leaf) -> None:
+        out[f"{dst}.weight"] = leaf["scale"]
+        out[f"{dst}.bias"] = leaf["bias"]
+
+    def put_blocks(dst_prefix: str, blocks) -> None:
+        n = blocks["ln1"]["scale"].shape[0]  # stacked leading layer axis
+        for i in range(n):
+            blk = jax.tree.map(lambda x: x[i], blocks)
+            d = f"{dst_prefix}.resblocks.{i}"
+            out[f"{d}.attn.in_proj_weight"] = blk["attn"]["qkv"]["kernel"].T
+            out[f"{d}.attn.in_proj_bias"] = blk["attn"]["qkv"]["bias"]
+            out[f"{d}.attn.out_proj.weight"] = blk["attn"]["out"]["kernel"].T
+            out[f"{d}.attn.out_proj.bias"] = blk["attn"]["out"]["bias"]
+            put_ln(f"{d}.ln_1", blk["ln1"])
+            put_ln(f"{d}.ln_2", blk["ln2"])
+            out[f"{d}.mlp.c_fc.weight"] = blk["mlp"]["fc1"]["kernel"].T
+            out[f"{d}.mlp.c_fc.bias"] = blk["mlp"]["fc1"]["bias"]
+            out[f"{d}.mlp.c_proj.weight"] = blk["mlp"]["fc2"]["kernel"].T
+            out[f"{d}.mlp.c_proj.bias"] = blk["mlp"]["fc2"]["bias"]
+
+    vis = p["visual"]
+    # inverse of conv.transpose(2, 3, 1, 0).reshape(-1, W) at import
+    out["visual.conv1.weight"] = (
+        vis["patch_embed"]["kernel"].reshape(P, P, 3, W).transpose(3, 2, 0, 1)
+    )
+    out["visual.class_embedding"] = vis["class_embedding"]
+    out["visual.positional_embedding"] = vis["pos_embed"]
+    put_ln("visual.ln_pre", vis["ln_pre"])
+    put_blocks("visual.transformer", vis["blocks"])
+    put_ln("visual.ln_post", vis["ln_post"])
+    out["visual.proj"] = vis["proj"]["kernel"]  # [width, embed] both sides
+
+    txt = p["text"]
+    out["token_embedding.weight"] = txt["token_embed"]
+    out["positional_embedding"] = txt["pos_embed"]
+    put_blocks("transformer", txt["blocks"])
+    put_ln("ln_final", txt["ln_final"])
+    out["text_projection"] = txt["proj"]["kernel"]
+    return out
+
+
+def to_hf_sd(params: Params, cfg: CLIPConfig) -> Dict[str, np.ndarray]:
+    """Export plip_tpu params as an HF ``CLIPModel`` state_dict (numpy).
+
+    Composes the exact-inverse OpenAI exporter with the parity-tested
+    re-keyer, so a TPU-tuned model loads into ``transformers.CLIPModel``
+    (the reference's primary load path, `/root/reference/plip.py:26-27`)
+    via ``load_state_dict``.
+    """
+    return openai_sd_to_hf_sd(to_openai_sd(params, cfg))
+
+
+def save_torch_checkpoint(
+    path: str, params: Params, cfg: CLIPConfig, naming: str = "openai"
+) -> str:
+    """``torch.save`` the exported state_dict (torch tensors) to ``path``.
+
+    ``naming="openai"`` matches the reference trainer's per-epoch artifact
+    (`/root/reference/reproducibility/training_model/clip.py:221-222`);
+    ``naming="hf"`` loads directly into ``transformers.CLIPModel``.
+    """
+    import torch
+
+    if naming == "openai":
+        sd = to_openai_sd(params, cfg)
+    elif naming == "hf":
+        sd = to_hf_sd(params, cfg)
+    else:
+        raise ValueError(f"naming must be 'openai' or 'hf', got {naming!r}")
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)
+    return path
+
+
 def from_torch_state_dict(sd: Dict[str, Any]) -> Tuple[Params, CLIPConfig]:
     """Auto-detect HF vs OpenAI naming (the two load paths in the reference)."""
     if any(k.startswith("vision_model.") for k in sd):

@@ -216,8 +216,21 @@ def test_textfix_leaves_clean_text_alone():
 
     for s in ["café", "é", "naïve œuvre", "中文病理", "plain ascii 123",
               "àüñç é", "Привет мир", "καλημέρα", "don't \"quote\" me",
-              "20% & 30%", "a&b", "R&D dept"]:
+              "20% & 30%", "a&b", "R&D dept",
+              # ADVICE r4: 2-letter spans whose cp1251 bytes form valid
+              # UTF-8 are plausible real text — same-script flips
+              # ("Рі"→"г") and letter→symbol flips ("Ві"→"³") must not fire
+              "Рі", "Ві", "Сќ"]:
         assert fix_text(s) == s
+
+
+def test_textfix_two_letter_cross_script_still_repairs():
+    """The script guard must NOT block genuine 2-char mojibake: cp1251
+    mis-decodes of Latin UTF-8 ("Гј"→"ü") are cross-script flips."""
+    from plip_tpu.tokenizer.textfix import fix_text
+
+    assert fix_text("fГјr") == "für"
+    assert fix_text("schГ¶n") == "schön"  # mixed letter+symbol span, cp1251
 
 
 def test_textfix_full_fixer_passes():
