@@ -296,6 +296,57 @@ def test_textfix_mojibake_fuzz_roundtrip():
     assert checked > 150  # the fuzz actually exercised repairs
 
 
+def test_textfix_differential_vs_real_ftfy():
+    """Differential fuzz vs REAL ftfy (VERDICT r4 ask #7) — armed but
+    dormant: ftfy is not installed in this image, so this skips here and
+    fires automatically in any environment that has it (bpe.py already
+    auto-prefers real ftfy at runtime). The corpus covers every textfix
+    pass we claim equivalence for: mojibake through all five codepages
+    (incl. double-encoding), HTML entities, C1 controls, surrogates,
+    width folding, quotes/ligatures/line-breaks, control removal, NFC.
+    Documented divergences (textfix.py module docstring) are excluded:
+    byte-corrupted mojibake (restore_byte_a0 etc.) and ambiguous
+    two-letter spans where ftfy's trained badness model decides."""
+    ftfy = pytest.importorskip("ftfy")
+    import random
+    import unicodedata
+
+    from plip_tpu.tokenizer.textfix import fix_text
+
+    # deterministic corpus of constructs we claim to match
+    fixed_cases = [
+        "An H&amp;E image of schÃ¶n tissue", "donâ€™t", "don’t",
+        "ＡＢＣ １２３", "ﬁnal diagnosis", "café", "schÃƒÂ¶n",
+        "&#65;&#x42;", "&lt;tag&gt;", "\x1b[31mred\x1b[0m",
+        "Ã©lÃ¨ve", "√©l√®ve", "Ð¿Ñ€Ð¸Ð²ÐµÑ‚", "â€œquotedâ€\x9d",
+        "dÃ©jÃ\xa0 vu", "ç\x97\x85ç\x90\x86", "caf\x82", "x\x85y",
+        "😀", "a\ud800b", "ＡＢ　Ｃ！", "ｶﾞｲﾄﾞ", "ﾊﾟｽ",
+        "a\x00b\x0bc\x7fd﻿e", "a\tb\nc", "a b c",
+        "plain ascii", "Привет мир", "καλημέρα", "中文病理",
+    ]
+    for s in fixed_cases:
+        assert fix_text(s) == ftfy.fix_text(s), repr(s)
+
+    # mojibake roundtrip fuzz — same generator as the offline fuzz above
+    rng = random.Random(11)
+    words = ["schön", "élève", "naïve", "œuvre", "病理", "привет", "für",
+             "café", "niño", "señor", "über", "αίμα", "ткань"]
+    codecs_ = ["cp1252", "latin-1", "cp1251", "mac_roman", "cp437"]
+    checked = 0
+    for _ in range(300):
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(1, 4)))
+        enc = rng.choice(codecs_)
+        try:
+            broken = text.encode("utf-8").decode(enc)
+        except UnicodeDecodeError:
+            continue
+        ours = fix_text(broken)
+        theirs = unicodedata.normalize("NFC", ftfy.fix_text(broken))
+        assert ours == theirs, (enc, text, broken, ours, theirs)
+        checked += 1
+    assert checked > 150
+
+
 def test_fuzz_matches_hf(tokenizer, tmp_path):
     """Randomized ASCII/latin fuzzing against HF CLIPTokenizer on shared
     vocab (CJK/html excluded per the documented ftfy-path difference)."""
