@@ -52,6 +52,29 @@ def initialize(
         return False
 
 
+def agree_max_int(value: int) -> int:
+    """Cross-process max-agreement on a small host integer.
+
+    The coordination primitive behind the tuner's coordinated auto-accum
+    (train/clip_tuner.py): every process proposes a value, everyone receives
+    the max, so all processes take identical decisions (e.g. rebuild the
+    train step at the same accumulation factor) before any of them re-enters
+    a collective program. Single-process: identity, no device work.
+
+    Uses ``multihost_utils.process_allgather`` — a tiny replicated-scalar
+    all_gather riding the same ICI/DCN transport as training collectives,
+    so it needs no side channel. Every process MUST call this the same
+    number of times (it is itself a collective).
+    """
+    if jax.process_count() == 1:
+        return int(value)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    vals = multihost_utils.process_allgather(np.int32(value))
+    return int(np.max(vals))
+
+
 def local_batch_slice(global_batch: int) -> slice:
     """This process's slice of a globally-ordered batch (per-host sharding)."""
     per = global_batch // jax.process_count()

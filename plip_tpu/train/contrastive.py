@@ -422,10 +422,21 @@ def load_train_state_orbax(
         )
         if mesh_sh is not None:
             rep = NamedSharding(mesh_sh.mesh, PartitionSpec())
-            out["opt_state"] = jax.tree.map(
-                lambda x: jax.device_put(x, rep) if x.ndim == 0 else x,
-                out["opt_state"],
-            )
+
+            def _replicate0d(x):
+                if x.ndim != 0:
+                    return x
+                # NOT device_put: on a pod the restored scalar sits on one
+                # local device per process and device_put onto the global
+                # replicated sharding would be a cross-host transfer
+                # (unsupported on CPU, DCN-config-gated on TPU). Every
+                # process already holds the value — rebuild the global
+                # replicated array from per-process host copies.
+                host = np.asarray(x)
+                return jax.make_array_from_callback(
+                    (), rep, lambda idx: host)
+
+            out["opt_state"] = jax.tree.map(_replicate0d, out["opt_state"])
     # step as a fresh UNCOMMITTED scalar: a committed single-device scalar
     # next to 8-device-sharded params trips jit's device check
     return (
