@@ -241,12 +241,21 @@ def _flash_block_q(S: int) -> int:
 
 
 def _flash_kernel(q_ref, kv_ref, o_ref, *, heads: int, head_dim: int,
-                  causal: bool, block_q: int, heads_per_prog: int):
+                  causal: bool, block_q: int, heads_per_prog: int,
+                  pipeline: bool = False):
     """One program = one (batch row, q block, head group). Head groups pack
     ``heads_per_prog`` heads so the dynamic lane offset ``hg * group_width``
     is a provable multiple of 128 (Mosaic rejects dynamic 64-lane offsets);
     the per-head 64-lane splits below are *static* slices of the loaded
-    group, which Mosaic handles."""
+    group, which Mosaic handles.
+
+    ``pipeline=True`` applies the round-4 schedule (see ``_mha_kernel``):
+    head j+1's QK^T dot is issued before head j's softmax/PV so the MXU
+    overlaps the VPU softmax, and the softmax divide is deferred past the
+    PV dot ([BQ, D] divide instead of [BQ, S]). Measured at L/14@336
+    (S=577, round 5): the shipped combination is pipeline + hpp=16
+    (single head group per q block — the longest in-program chain), 40.2
+    -> 11.9 ms of in-scan attention time, encode 294 -> 380 img/s b32."""
     hg = pl.program_id(2)
     iq = pl.program_id(1)
     W = heads * head_dim
@@ -257,8 +266,8 @@ def _flash_kernel(q_ref, kv_ref, o_ref, *, heads: int, head_dim: int,
     qg = q_ref[0, :, pl.ds(off, gw)]  # [BQ, gw]
     kg = kv_ref[0, :, pl.ds(W + off, gw)]  # [S, gw]
     vg = kv_ref[0, :, pl.ds(2 * W + off, gw)]  # [S, gw]
-    ctx_cols = []
-    for j in range(heads_per_prog):
+
+    def qk(j):
         sl = slice(j * head_dim, (j + 1) * head_dim)
         q32 = qg[:, sl].astype(jnp.float32) * scale
         logits = jax.lax.dot_general(
@@ -271,13 +280,32 @@ def _flash_kernel(q_ref, kv_ref, o_ref, *, heads: int, head_dim: int,
                 jnp.int32, (block_q, S), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, S), 1)
             logits = jnp.where(col <= row, logits, -jnp.inf)
+        return logits
+
+    def sm_pv(j, logits, defer):
+        sl = slice(j * head_dim, (j + 1) * head_dim)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        ctx_cols.append(
-            jnp.dot(p.astype(qg.dtype), vg[:, sl],
-                    preferred_element_type=jnp.float32).astype(o_ref.dtype)
-        )
+        if defer:
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            ctx = jnp.dot(p.astype(qg.dtype), vg[:, sl],
+                          preferred_element_type=jnp.float32) / denom
+        else:
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            ctx = jnp.dot(p.astype(qg.dtype), vg[:, sl],
+                          preferred_element_type=jnp.float32)
+        return ctx.astype(o_ref.dtype)
+
+    ctx_cols = []
+    if pipeline:
+        logits = qk(0)
+        for j in range(heads_per_prog):
+            nxt = qk(j + 1) if j + 1 < heads_per_prog else None
+            ctx_cols.append(sm_pv(j, logits, defer=True))
+            logits = nxt
+    else:
+        for j in range(heads_per_prog):
+            ctx_cols.append(sm_pv(j, qk(j), defer=False))
     o_ref[0, :, pl.ds(off, gw)] = jnp.concatenate(ctx_cols, axis=-1)
 
 
@@ -359,18 +387,40 @@ def _pallas_mha_headgrid(qkv: jnp.ndarray, heads: int, causal: bool,
     )(qkv)
 
 
+# Per-row kernel S ceiling (dispatch boundary vs the flash grid). 512 is the
+# measured boundary; experiments/bench_336_core.py overrides it to force the
+# per-row kernel at S=577 for A/Bs (trace-time, like the overrides below).
+_PERROW_MAX_S = 512
+
+# Long-S (>512) flash-kernel experiment overrides (trace-time! compile the
+# jit INSIDE the override scope — CLAUDE.md round-4 trap). None = shipped
+# defaults below; experiments/bench_336_core.py is the A/B harness.
+_FLASH_PIPE_OVERRIDE: "bool | None" = None
+_FLASH_HPP_OVERRIDE: "int | None" = None
+_FLASH_BQ_OVERRIDE: "int | None" = None
+
+
 def _pallas_flash_mha(qkv: jnp.ndarray, heads: int, causal: bool,
                       interpret: "bool | None" = None,
-                      block_q: int | None = None) -> jnp.ndarray:
+                      block_q: int | None = None,
+                      hpp: int | None = None,
+                      pipeline: "bool | None" = None) -> jnp.ndarray:
     B, S, W3 = qkv.shape
     W = W3 // 3
     head_dim = W // heads
-    hpp = _head_groups(heads, head_dim)
-    block_q = block_q or _flash_block_q(S)
+    if hpp is None:
+        hpp = _FLASH_HPP_OVERRIDE
+    if hpp is None:
+        hpp = heads  # single group: longest in-program chain (r5, L/14@336)
+    hpp = _head_groups(heads, head_dim, hpp)
+    block_q = block_q or _FLASH_BQ_OVERRIDE or _flash_block_q(S)
     nq = -(-S // block_q)
+    if pipeline is None:
+        pipeline = (_FLASH_PIPE_OVERRIDE
+                    if _FLASH_PIPE_OVERRIDE is not None else True)
     kernel = functools.partial(
         _flash_kernel, heads=heads, head_dim=head_dim, causal=causal,
-        block_q=block_q, heads_per_prog=hpp,
+        block_q=block_q, heads_per_prog=hpp, pipeline=pipeline,
     )
     return pl.pallas_call(
         kernel,
@@ -445,13 +495,15 @@ def fused_attention(qkv: jnp.ndarray, heads: int, causal: bool = False,
     for every CLIP-family sequence length INCLUDING ViT-L/14's S=257 — at 257
     it ran 790 img/s vs 772 (head-group grid) and 724 (q-blocked flash), i.e.
     the 16-head in-program unroll costs less than grid-program overhead at
-    this scale. The q-blocked flash grid takes over for S > 512, where the
-    per-row kernel's whole-row logits would exhaust VMEM (s_valid masking is
-    plumbed only through the per-row kernel; long-S padded sequences take
-    the jnp path)."""
-    if _use_pallas() and qkv.shape[1] <= 512:
+    this scale. The q-blocked flash grid takes over for S > 512 — re-measured
+    at S=577 (L/14@336, round 5) after pipelining BOTH kernels: the per-row
+    kernel compiles there but loses to the pipelined single-group flash
+    (see experiments/bench_336_core.py), so the 512 boundary stands
+    (s_valid masking is plumbed only through the per-row kernel; long-S
+    padded sequences take the jnp path)."""
+    if _use_pallas() and qkv.shape[1] <= _PERROW_MAX_S:
         return _pallas_mha(qkv, heads, causal, s_valid=s_valid)
-    if _use_pallas() and qkv.shape[1] > 512 and s_valid is None:
+    if _use_pallas() and qkv.shape[1] > _PERROW_MAX_S and s_valid is None:
         return _pallas_flash_mha(qkv, heads, causal)
     return _jnp_mha(qkv, heads, causal, s_valid)
 
@@ -467,7 +519,7 @@ def _bwd(heads, causal, s_valid, qkv, g):
     # working set, so it must not be dispatched there. The composed VJP (XLA
     # HBM logits) is the correct long-S fallback; latent-only for the CLIP
     # family (max S=257), but the op's contract covers arbitrary S.
-    if _use_pallas() and qkv.shape[1] <= 512:
+    if _use_pallas() and qkv.shape[1] <= _PERROW_MAX_S:
         return (_pallas_mha_bwd(qkv, g, heads, causal, s_valid=s_valid),)
     _, vjp = jax.vjp(lambda a: _jnp_mha(a, heads, causal, s_valid), qkv)
     return vjp(g)
