@@ -74,7 +74,7 @@ def _block_bwd_kernel(x_ref, g_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
                       dwout_ref, dbout_ref, dln2s_ref, dln2b_ref, dw1_ref,
                       db1_ref, dw2_ref, db2_ref,
                       p_scr, *, heads: int, eps: float, causal: bool, S: int,
-                      s_valid: "int | None" = None):
+                      s_valid: "int | None" = None, cosched: bool = False):
     M, W = x_ref.shape
     D = W // heads
     scale = D ** -0.5
@@ -112,23 +112,36 @@ def _block_bwd_kernel(x_ref, g_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
         + bqkv_ref[:]
     ).astype(cdt)
     mask = _blockdiag_mask(M, S, causal, s_valid)
-    ctx_cols = []
-    for h in range(heads):
+
+    def _fwd_logits(h):
         q = qkv[:, h * D:(h + 1) * D]
         k = qkv[:, W + h * D:W + (h + 1) * D]
-        v = qkv[:, 2 * W + h * D:2 * W + (h + 1) * D]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        logits = jnp.where(mask, logits, -jnp.inf)
+        return jnp.where(mask, logits, -jnp.inf)
+
+    def _fwd_sm_pv(h, logits):
+        v = qkv[:, 2 * W + h * D:2 * W + (h + 1) * D]
         m = jnp.max(logits, -1, keepdims=True)
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, -1, keepdims=True)
         p_scr[h] = p
-        ctx_cols.append(
-            jnp.dot(p.astype(cdt), v,
-                    preferred_element_type=jnp.float32).astype(cdt)
-        )
+        return jnp.dot(p.astype(cdt), v,
+                       preferred_element_type=jnp.float32).astype(cdt)
+
+    ctx_cols = []
+    if cosched:
+        # r4 pipelining (exact math): issue head h+1's QK dot before head
+        # h's softmax island so the MXU overlaps the VPU
+        logits = _fwd_logits(0)
+        for h in range(heads):
+            nxt = _fwd_logits(h + 1) if h + 1 < heads else None
+            ctx_cols.append(_fwd_sm_pv(h, logits))
+            logits = nxt
+    else:
+        for h in range(heads):
+            ctx_cols.append(_fwd_sm_pv(h, _fwd_logits(h)))
     ctx = jnp.concatenate(ctx_cols, axis=-1)  # [M, W]
     y = xb + (
         jnp.dot(ctx, wout_ref[:], preferred_element_type=jnp.float32)
@@ -151,18 +164,32 @@ def _block_bwd_kernel(x_ref, g_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
     s = jax.nn.sigmoid(1.702 * h32)
     a = (h32 * s).astype(cdt)  # QuickGELU activation
 
-    # ---- MLP backward: dz -> gy
-    dw2_ref[:, :] += jax.lax.dot_general(
-        a, gz, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    db2_ref[:] += jnp.sum(gz.astype(jnp.float32), axis=0)
+    # ---- MLP backward: dz -> gy. The dW accumulations are NOT on the
+    # dx critical path; under cosched they are deferred and interleaved
+    # into the attention head loop's VPU islands below (ask: attention-bwd
+    # and MLP-bwd as co-scheduled streams — PERF.md train-MFU closure).
+    def _acc_dw2():
+        dw2_ref[:, :] += jax.lax.dot_general(
+            a, gz, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db2_ref[:] += jnp.sum(gz.astype(jnp.float32), axis=0)
+
+    if not cosched:
+        _acc_dw2()
     da = jax.lax.dot_general(
         gz, w2_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [M, 4W] fp32
     dgelu = s + 1.702 * h32 * s * (1.0 - s)
     dh1 = (da * dgelu).astype(cdt)
-    dw1_ref[:, :] += jax.lax.dot_general(
-        ln2, dh1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    db1_ref[:] += jnp.sum(dh1.astype(jnp.float32), axis=0)
+
+    def _acc_dw1():
+        dw1_ref[:, :] += jax.lax.dot_general(
+            ln2, dh1, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db1_ref[:] += jnp.sum(dh1.astype(jnp.float32), axis=0)
+
+    if not cosched:
+        _acc_dw1()
     dln2 = jax.lax.dot_general(
         dh1, w1_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [M, W] fp32
@@ -177,21 +204,24 @@ def _block_bwd_kernel(x_ref, g_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
     gy = gz + dy_ln.astype(cdt)  # residual
 
     # ---- attention sublayer backward: gy -> dx
-    dwout_ref[:, :] += jax.lax.dot_general(
-        ctx, gy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dbout_ref[:] += jnp.sum(gy.astype(jnp.float32), axis=0)
+    def _acc_dwout():
+        dwout_ref[:, :] += jax.lax.dot_general(
+            ctx, gy, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbout_ref[:] += jnp.sum(gy.astype(jnp.float32), axis=0)
+
+    if not cosched:
+        _acc_dwout()
     dctx = jax.lax.dot_general(
         gy, wout_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(cdt)
     dq_cols, dk_cols, dv_cols = [], [], []
-    for h in range(heads):
-        q = qkv[:, h * D:(h + 1) * D]
-        k = qkv[:, W + h * D:W + (h + 1) * D]
+
+    def _bwd_dots(h):
         v = qkv[:, 2 * W + h * D:2 * W + (h + 1) * D]
-        p = p_scr[h]  # [M, M] fp32, block-diagonal
+        p_c = p_scr[h].astype(cdt)
         gh = dctx[:, h * D:(h + 1) * D]
-        p_c = p.astype(cdt)
         dv = jax.lax.dot_general(
             p_c, gh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -200,6 +230,12 @@ def _block_bwd_kernel(x_ref, g_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
             gh, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        return dv, dp
+
+    def _bwd_island(h, dv, dp):
+        q = qkv[:, h * D:(h + 1) * D]
+        k = qkv[:, W + h * D:W + (h + 1) * D]
+        p = p_scr[h]  # [M, M] fp32, block-diagonal
         dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
         ds = (p * (dp - dsum)).astype(cdt)  # zero off-block
         dq_cols.append(
@@ -211,6 +247,28 @@ def _block_bwd_kernel(x_ref, g_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
                 preferred_element_type=jnp.float32,
             ) * scale).astype(cdt))
         dv_cols.append(dv.astype(cdt))
+
+    if cosched:
+        # Co-scheduled streams: the three deferred dW streams (MLP dw2/dw1
+        # + attention dwout — all independent of the per-head chain) are
+        # issued between head h+1's MXU dots and head h's VPU island, so
+        # the VLIW scheduler has dense MXU work to overlap every island
+        # with; the head chain itself is pipelined as in
+        # attention._core_fwd_bwd_block.
+        fillers = [_acc_dw2, _acc_dw1, _acc_dwout]
+        pend = _bwd_dots(0)
+        for h in range(heads):
+            dv, dp = pend
+            pend = _bwd_dots(h + 1) if h + 1 < heads else None
+            if fillers:
+                fillers.pop(0)()
+            _bwd_island(h, dv, dp)
+        for f in fillers:  # heads < 3 geometries
+            f()
+    else:
+        for h in range(heads):
+            dv, dp = _bwd_dots(h)
+            _bwd_island(h, dv, dp)
     dqkv = jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1)  # [M, 3W]
     dwqkv_ref[:, :] += jax.lax.dot_general(
         ln1, dqkv, (((0,), (0,)), ((), ())),
@@ -232,10 +290,23 @@ def _block_bwd_kernel(x_ref, g_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
     dx_ref[:] = gy + dx_ln.astype(cdt)
 
 
+# Trace-time override for the co-scheduled kernel schedule (deferred MLP/out
+# dW streams interleaved into the pipelined attention head loop). Math is
+# identical either way (tests/test_block_bwd.py covers both); the flag only
+# reorders instruction issue. Default False: measured r5 at B/32 b512
+# in-model (experiments/bench_cosched.py, one process, interleaved):
+# remat="mlp" 233.8 ms vs block_serial 257.6 vs block_cosched 255.4 ms —
+# co-scheduling recovers only ~0.9% of the whole-block kernel's ~9% gap to
+# the shipped composition, far below the +3% ship rule. This was the last
+# untried idea named by PERF.md's train-MFU closure; the front is CLOSED.
+_COSCHED = False
+
+
 def _pallas_block_bwd_flat(x2, g2, p, S, heads, causal, eps,
                            block_b: "int | None" = None,
                            interpret: "bool | None" = None,
-                           s_valid: "int | None" = None):
+                           s_valid: "int | None" = None,
+                           cosched: "bool | None" = None):
     """Returns (dx2, dp) — dp mirrors the block param tree with fp32 grads
     cast to each param's dtype; dx2 is flat [N, W] like the inputs."""
     N, W = x2.shape
@@ -255,9 +326,12 @@ def _pallas_block_bwd_flat(x2, g2, p, S, heads, causal, eps,
     f32 = jnp.float32
     vm = lambda shape: pl.BlockSpec(shape, const if len(shape) == 1 else mat,
                                     memory_space=pltpu.VMEM)
+    if cosched is None:
+        cosched = _COSCHED
     outs = pl.pallas_call(
         functools.partial(_block_bwd_kernel, heads=heads, eps=eps,
-                          causal=causal, S=S, s_valid=s_valid),
+                          causal=causal, S=S, s_valid=s_valid,
+                          cosched=cosched),
         grid=(B // block_b,),
         in_specs=[
             pl.BlockSpec((M, W), blk, memory_space=pltpu.VMEM),   # x

@@ -20,12 +20,13 @@ def _composed(x2, p, S, heads, causal=False, eps=1e-5):
     return _jnp_block_flat(x2, p, S, heads, causal, eps, "quick_gelu")
 
 
+@pytest.mark.parametrize("cosched", [False, True])
 @pytest.mark.parametrize("shape,S,heads,causal", [
     ((120, 64), 10, 4, False),
     ((200, 96), 50, 6, False),
     ((160, 64), 80, 2, True),   # causal (text-tower geometry)
 ])
-def test_block_bwd_kernel_matches_vjp(shape, S, heads, causal):
+def test_block_bwd_kernel_matches_vjp(shape, S, heads, causal, cosched):
     from plip_tpu.ops.block_bwd import _pallas_block_bwd_flat
 
     N, W = shape
@@ -36,7 +37,7 @@ def test_block_bwd_kernel_matches_vjp(shape, S, heads, causal):
     _, vjp = jax.vjp(lambda a, b: _composed(a, b, S, heads, causal), x, p)
     ref_dx, ref_dp = vjp(g)
     dx, dp = _pallas_block_bwd_flat(x, g, p, S, heads, causal, 1e-5,
-                                    interpret=True)
+                                    interpret=True, cosched=cosched)
     np.testing.assert_allclose(np.asarray(dx), np.asarray(ref_dx),
                                rtol=5e-4, atol=5e-4)
     ra, rb = jax.tree.flatten_with_path(dp)[0], jax.tree.leaves(ref_dp)
